@@ -1,0 +1,162 @@
+"""Model registry + functional "model surgery".
+
+The reference swaps forked HF decoder layers into a pretrained torch model
+(`/root/reference/src/lqer/models/__init__.py:21-33`). Functionally, a
+"quantized model" here is: (arch config, flat param dict, resolved per-layer
+quantizer configs). `quantize_model` returns the resolved configs + PTQ'd
+params; `load_low_rank_dict` is a flat dict update (the reference's
+`load_state_dict(strict=False)` filling every `.A`/`.B` —
+`runners.py:220-223`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from .config_expand import (
+    LLAMA_ATTN_PROJS,
+    LLAMA_MLP_PROJS,
+    OPT_ATTN_PROJS,
+    OPT_MLP_PROJS,
+    resolve_model_configs,
+)
+from . import llama as llama_mod
+from . import opt as opt_mod
+from .llama import LlamaConfig
+from .opt import OPTConfig
+
+ARCH_MODULES = {"opt": opt_mod, "llama": llama_mod, "mistral": llama_mod}
+
+# model_name -> config factory (HF ids kept for config-file compatibility)
+MODEL_CONFIGS: dict[str, Callable] = {
+    "facebook/opt-125m": OPTConfig.opt_125m,
+    "facebook/opt-1.3b": lambda: OPTConfig(
+        hidden_size=2048, ffn_dim=8192, num_hidden_layers=24, num_attention_heads=32
+    ),
+    "facebook/opt-2.7b": lambda: OPTConfig(
+        hidden_size=2560, ffn_dim=10240, num_hidden_layers=32, num_attention_heads=32
+    ),
+    "facebook/opt-6.7b": lambda: OPTConfig(
+        hidden_size=4096, ffn_dim=16384, num_hidden_layers=32, num_attention_heads=32
+    ),
+    "facebook/opt-13b": lambda: OPTConfig(
+        hidden_size=5120, ffn_dim=20480, num_hidden_layers=40, num_attention_heads=40
+    ),
+    "facebook/opt-30b": lambda: OPTConfig(
+        hidden_size=7168, ffn_dim=28672, num_hidden_layers=48, num_attention_heads=56
+    ),
+    "huggyllama/llama-7b": LlamaConfig.llama_7b,
+    "huggyllama/llama-13b": lambda: LlamaConfig(
+        hidden_size=5120, intermediate_size=13824, num_hidden_layers=40,
+        num_attention_heads=40,
+    ),
+    "meta-llama/Llama-2-7b-hf": LlamaConfig.llama_7b,
+    "meta-llama/Llama-2-13b-hf": lambda: LlamaConfig(
+        hidden_size=5120, intermediate_size=13824, num_hidden_layers=40,
+        num_attention_heads=40,
+    ),
+    "meta-llama/Llama-2-70b-hf": lambda: LlamaConfig(
+        hidden_size=8192, intermediate_size=28672, num_hidden_layers=80,
+        num_attention_heads=64, num_key_value_heads=8, max_position_embeddings=4096,
+        rms_norm_eps=1e-5,
+    ),
+    "lmsys/vicuna-7b-v1.5": LlamaConfig.llama_7b,
+    "lmsys/vicuna-13b-v1.5": lambda: LlamaConfig(
+        hidden_size=5120, intermediate_size=13824, num_hidden_layers=40,
+        num_attention_heads=40,
+    ),
+    "mistralai/Mistral-7B-v0.1": LlamaConfig.mistral_7b,
+}
+
+
+def get_model_config(model_name: str):
+    if model_name in MODEL_CONFIGS:
+        return MODEL_CONFIGS[model_name]()
+    raise ValueError(
+        f"Unknown model {model_name!r}. Known: {sorted(MODEL_CONFIGS)}"
+    )
+
+
+def get_arch_module(cfg):
+    return ARCH_MODULES[cfg.arch]
+
+
+def quantizable_module_prefixes(cfg, layer_idx: int) -> list[tuple[str, str]]:
+    """(module_prefix, proj_key) pairs of the quantized linears in one layer."""
+    if cfg.arch == "opt":
+        p = opt_mod.layer_prefix(layer_idx)
+        pairs = [(f"{p}.self_attn.{proj}", proj) for proj in OPT_ATTN_PROJS]
+        pairs += [(f"{p}.{proj}", proj) for proj in OPT_MLP_PROJS]
+    else:
+        p = llama_mod.layer_prefix(layer_idx)
+        pairs = [(f"{p}.self_attn.{proj}", proj) for proj in LLAMA_ATTN_PROJS]
+        pairs += [(f"{p}.mlp.{proj}", proj) for proj in LLAMA_MLP_PROJS]
+    return pairs
+
+
+def _proj_qcfg(layer_qcfg: dict, proj: str):
+    if proj in ("q_proj", "k_proj", "v_proj"):
+        return getattr(layer_qcfg["attn"], proj)
+    if proj in ("o_proj", "out_proj"):
+        return layer_qcfg["attn"].o_proj
+    return layer_qcfg[proj]
+
+
+def prepare_ptq(params: dict, cfg, layer_qcfgs) -> dict:
+    """One-time PTQ weight/bias quantization across all quantized linears
+    (the reference's first-forward latch, `linear.py:50-59`, applied eagerly)."""
+    if layer_qcfgs is None:
+        return params
+    params = dict(params)
+    for i in range(cfg.num_hidden_layers):
+        for prefix, proj in quantizable_module_prefixes(cfg, i):
+            qc = _proj_qcfg(layer_qcfgs[i], proj)
+            if not qc.is_ptq:
+                continue
+            wk, bk = prefix + ".weight", prefix + ".bias"
+            params[wk] = qc.w_quantizer(params[wk])
+            if params.get(bk) is not None:
+                params[bk] = qc.b_quantizer(params[bk])
+    return params
+
+
+def quantize_model(cfg, q_config: dict | None, l_config: dict | None):
+    """Resolve per-layer quantizer configs for a model (dispatch equivalent of
+    `models/__init__.py:21-33` + the per-arch builders)."""
+    return resolve_model_configs(cfg.num_hidden_layers, q_config, l_config, cfg.arch)
+
+
+def load_low_rank_dict(params: dict, low_rank_dict: dict, dtype=None) -> dict:
+    """Fill every `.A`/`.B` (`runners.py:220-223`)."""
+    params = dict(params)
+    for k, v in low_rank_dict.items():
+        arr = jnp.asarray(v)
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        params[k] = arr
+    return params
+
+
+def forward(params, input_ids, cfg, layer_qcfgs=None, tap=None):
+    return get_arch_module(cfg).forward(params, input_ids, cfg, layer_qcfgs, tap=tap)
+
+
+def init_params(cfg, key, dtype=jnp.float32):
+    return get_arch_module(cfg).init_params(cfg, key, dtype)
+
+
+__all__ = [
+    "OPTConfig",
+    "LlamaConfig",
+    "MODEL_CONFIGS",
+    "get_model_config",
+    "get_arch_module",
+    "quantize_model",
+    "prepare_ptq",
+    "load_low_rank_dict",
+    "forward",
+    "init_params",
+    "quantizable_module_prefixes",
+]

@@ -1,0 +1,217 @@
+"""Llama-family decoder (Llama-1/2, Vicuna; Mistral subclasses via config)
+as a pure-JAX functional model with quantized ops.
+
+Capability mirror of `/root/reference/src/lqer/models/llama_decoder.py` (512
+LoC) and `mistral_decoder.py` (621 LoC). Notes preserved:
+
+* eager attention only — QK^T and P·V route through the quantized matmul
+  (``matmul_0``/``matmul_1``); flash/sdpa are rejected by the reference
+  (`llama_decoder.py:324-343`, `mistral_decoder.py:28-31`)
+* RMSNorm, rotary embeddings (HF convention), SiLU gated MLP
+* GQA via ``num_key_value_heads`` (Mistral; Llama uses MHA) with
+  `repeat_kv` before the quantized matmuls
+* Mistral sliding-window attention expressed in the additive mask
+
+Params are a flat ``{hf_name: array}`` dict (``model.layers.N.self_attn.q_proj.weight``
+etc.) matching the reference's weight-name contract (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.qlinear import qlinear
+from .common import (
+    causal_mask,
+    eager_attention,
+    merge_heads,
+    project_heads,
+    repeat_kv,
+    rms_norm,
+    rotary_tables,
+    apply_rotary,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int | None = None  # None -> MHA
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    sliding_window: int | None = None  # Mistral
+    tie_word_embeddings: bool = False
+    arch: str = "llama"
+
+    @property
+    def kv_heads(self):
+        return self.num_key_value_heads or self.num_attention_heads
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def tiny(vocab_size=512, hidden=64, layers=2, heads=4, kv_heads=None,
+             inter=128, max_pos=128, **kw) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=vocab_size, hidden_size=hidden, intermediate_size=inter,
+            num_hidden_layers=layers, num_attention_heads=heads,
+            num_key_value_heads=kv_heads, max_position_embeddings=max_pos, **kw,
+        )
+
+    @staticmethod
+    def llama_7b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def mistral_7b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
+            max_position_embeddings=4096, rms_norm_eps=1e-5, sliding_window=4096,
+            arch="mistral",
+        )
+
+
+def layer_prefix(i: int) -> str:
+    return f"model.layers.{i}"
+
+
+def _mod(params: dict, prefix: str) -> dict:
+    return {
+        "weight": params.get(prefix + ".weight"),
+        "bias": params.get(prefix + ".bias"),
+        "A": params.get(prefix + ".A"),
+        "B": params.get(prefix + ".B"),
+    }
+
+
+def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> dict:
+    params = {}
+    k_iter = iter(jax.random.split(key, 4 + cfg.num_hidden_layers * 8))
+
+    def randn(shape, scale=0.02):
+        return (jax.random.normal(next(k_iter), shape) * scale).astype(dtype)
+
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    kv_dim = cfg.kv_heads * cfg.head_dim
+    params["model.embed_tokens.weight"] = randn((cfg.vocab_size, h))
+    params["model.norm.weight"] = jnp.ones((h,), dtype)
+    if not cfg.tie_word_embeddings:
+        params["lm_head.weight"] = randn((cfg.vocab_size, h))
+    for i in range(cfg.num_hidden_layers):
+        p = layer_prefix(i)
+        params[f"{p}.self_attn.q_proj.weight"] = randn((h, h))
+        params[f"{p}.self_attn.k_proj.weight"] = randn((kv_dim, h))
+        params[f"{p}.self_attn.v_proj.weight"] = randn((kv_dim, h))
+        params[f"{p}.self_attn.o_proj.weight"] = randn((h, h))
+        params[f"{p}.mlp.gate_proj.weight"] = randn((inter, h))
+        params[f"{p}.mlp.up_proj.weight"] = randn((inter, h))
+        params[f"{p}.mlp.down_proj.weight"] = randn((h, inter))
+        params[f"{p}.input_layernorm.weight"] = jnp.ones((h,), dtype)
+        params[f"{p}.post_attention_layernorm.weight"] = jnp.ones((h,), dtype)
+    return params
+
+
+def _sliding_window_mask(s: int, window: int, dtype) -> jnp.ndarray:
+    q_idx = jnp.arange(s)[:, None]
+    k_idx = jnp.arange(s)[None, :]
+    ok = (k_idx <= q_idx) & (k_idx > q_idx - window)
+    mask = jnp.where(ok, 0.0, jnp.finfo(dtype).min)
+    return mask.astype(dtype)[None, None, :, :]
+
+
+def decoder_layer(
+    h: jnp.ndarray,
+    params: dict,
+    cfg: LlamaConfig,
+    i: int,
+    qcfg: dict | None,
+    mask: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    positions: jnp.ndarray,
+    tap=None,
+) -> jnp.ndarray:
+    from .fp_config import FP_LAYER_LLAMA
+
+    q = qcfg if qcfg is not None else FP_LAYER_LLAMA
+    tap = tap or (lambda name, x: None)
+    p = layer_prefix(i)
+    attn_cfg = q["attn"]
+
+    residual = h
+    h = rms_norm(h, _mod(params, f"{p}.input_layernorm"), cfg.rms_norm_eps)
+
+    for proj in ("q_proj", "k_proj", "v_proj"):
+        tap(f"{p}.self_attn.{proj}", h)
+    qh = project_heads(h, _mod(params, f"{p}.self_attn.q_proj"), attn_cfg.q_proj,
+                       cfg.num_attention_heads)
+    kh = project_heads(h, _mod(params, f"{p}.self_attn.k_proj"), attn_cfg.k_proj,
+                       cfg.kv_heads)
+    vh = project_heads(h, _mod(params, f"{p}.self_attn.v_proj"), attn_cfg.v_proj,
+                       cfg.kv_heads)
+    qh, kh = apply_rotary(qh, kh, cos, sin, positions)
+    n_rep = cfg.num_attention_heads // cfg.kv_heads
+    kh = repeat_kv(kh, n_rep)
+    vh = repeat_kv(vh, n_rep)
+
+    attn = eager_attention(
+        qh, kh, vh, mask, attn_cfg.qk_matmul, attn_cfg.pv_matmul,
+        scaling=cfg.head_dim**-0.5, scale_query=False,
+    )
+    attn = merge_heads(attn)
+    tap(f"{p}.self_attn.o_proj", attn)
+    attn = qlinear(attn, _mod(params, f"{p}.self_attn.o_proj"), attn_cfg.o_proj)
+    h = residual + attn
+
+    residual = h
+    h = rms_norm(h, _mod(params, f"{p}.post_attention_layernorm"), cfg.rms_norm_eps)
+    tap(f"{p}.mlp.gate_proj", h)
+    tap(f"{p}.mlp.up_proj", h)
+    gate = qlinear(h, _mod(params, f"{p}.mlp.gate_proj"), q["gate_proj"])
+    up = qlinear(h, _mod(params, f"{p}.mlp.up_proj"), q["up_proj"])
+    h = jax.nn.silu(gate) * up
+    tap(f"{p}.mlp.down_proj", h)
+    h = qlinear(h, _mod(params, f"{p}.mlp.down_proj"), q["down_proj"])
+    return residual + h
+
+
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,
+    cfg: LlamaConfig,
+    layer_qcfgs: list[dict] | None = None,
+    tap=None,
+) -> jnp.ndarray:
+    b, s = input_ids.shape
+    embed = params["model.embed_tokens.weight"]
+    h = jnp.take(embed, input_ids, axis=0)
+
+    cos, sin = rotary_tables(cfg.head_dim, max(s, cfg.max_position_embeddings),
+                             cfg.rope_theta)
+    positions = jnp.arange(s)
+    if cfg.sliding_window is not None and s > cfg.sliding_window:
+        mask = _sliding_window_mask(s, cfg.sliding_window, h.dtype)
+    else:
+        mask = causal_mask(s, dtype=h.dtype)
+
+    for i in range(cfg.num_hidden_layers):
+        qcfg = layer_qcfgs[i] if layer_qcfgs is not None else None
+        h = decoder_layer(h, params, cfg, i, qcfg, mask, cos, sin, positions,
+                          tap=tap)
+
+    h = rms_norm(h, _mod(params, "model.norm"), cfg.rms_norm_eps)
+    if tap is not None:
+        tap("lm_head", h)
+    lm_head = params.get("lm_head.weight", embed)
+    return jnp.matmul(h, lm_head.T)

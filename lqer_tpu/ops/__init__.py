@@ -1,0 +1,19 @@
+from .quantizers import (
+    block_fp_quantizer,
+    get_quantizer,
+    integer_quantizer,
+    make_quantizer,
+    minifloat_denorm_quantizer,
+    minifloat_ieee_quantizer,
+    passthrough_quantizer,
+)
+
+__all__ = [
+    "block_fp_quantizer",
+    "integer_quantizer",
+    "minifloat_denorm_quantizer",
+    "minifloat_ieee_quantizer",
+    "passthrough_quantizer",
+    "get_quantizer",
+    "make_quantizer",
+]

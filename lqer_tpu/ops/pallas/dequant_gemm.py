@@ -1,0 +1,323 @@
+"""Fused MXINT4 dequant-GEMM + rank-k LQER correction — the Pallas serving
+kernel.
+
+This is the real-kernel upgrade over the reference's software emulation
+(SURVEY.md §0, BASELINE.json north star): every quantized linear executes
+
+    ``Y = X_q · dequant(W4)^T  +  q_a(X_q · A) · B  (+ bias)``
+
+as ONE kernel: 4-bit weights stream from HBM packed two-codes-per-byte with
+one int8 shared exponent per 16-element group (format parity with the
+reference's W4 `block_fp`, `block_fp.py:39-68`); the X tile loaded into VMEM
+feeds both the main MXU dot and the rank-k correction dot, sharing the
+activation HBM load (`quantized_layers/linear.py:145-157` is the emulated
+math being reproduced).
+
+Numerics: X_q is pre-quantized MXINT8 dequantized to bf16 (exact — ≤8-bit
+mantissa integers), W4 mantissas are exact in bf16, the MXU accumulates in
+f32 ⇒ results match the fp32 fake-quant GEMM up to accumulation order.
+
+Grid ``(M/TM, N/TN, K/TK)``, K innermost; the low-rank partial ``X·A`` is
+accumulated in scratch during the ``n == 0`` sweep and reused for every
+other N tile (grid iteration on a TPU core is sequential row-major).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..storage import MXINT4, MXFormat, pack_int4_ksplit, quantize_mx
+from ..quantizers import block_fp_quantizer
+
+
+def _quantize_rows_mx(x: jnp.ndarray, mb: int, group: int = 16) -> jnp.ndarray:
+    """In-kernel emulation of the A_out/B_out quantizer: per (row, group of
+    ``group`` along last dim) shared-exponent quantize-dequantize
+    (activation-format `block_fp`, width = mb+1, `linear.py:113-132`).
+    A last dim not divisible by ``group`` (e.g. rank 8 < 16) falls back to a
+    whole-row group, matching the reference's block-shape clamping for
+    dims < block and approximating it for other non-multiples.
+
+    Mosaic cannot reshape the lane (last) dim into groups ("unsupported
+    shape cast"), so the grouping runs transposed: lanes → sublanes,
+    sublane-split reshape (supported), reduce, transpose back."""
+    m, n = x.shape
+    if n % group != 0:
+        group = n
+    xt = x.T  # (n, m): groups now lie along sublanes
+    v = xt.reshape(n // group, group, m)
+    bmax = jnp.max(jnp.abs(v), axis=1, keepdims=True)
+    nz_min = jnp.min(jnp.where(bmax != 0, bmax, jnp.inf))
+    fill = jnp.where(jnp.isinf(nz_min), jnp.float32(1.0), nz_min)
+    bmax = jnp.where(bmax == 0, fill, bmax)
+    e = jnp.clip(jnp.ceil(jnp.log2(bmax)), -127.0, 128.0)
+    scale = jnp.exp2(e)
+    shift = float(2**mb)
+    sign = jnp.sign(v + 1e-9)
+    mant = jnp.clip(jnp.round((jnp.abs(v) + 1e-9) / scale * shift), 0, 2**mb - 1)
+    q = sign * scale * (mant / shift)
+    q = jnp.where(jnp.abs(v) <= 1e-8, v, q)
+    return q.reshape(n, m).T
+
+
+def _kernel(
+    x_ref, p_ref, e_ref, a_ref, b_ref, bias_ref, o_ref, acc, xa,
+    *, mb: int, tile_k: int, group: int, rank: int, has_bias: bool,
+    quant_xa_mb: int | None, quant_out_mb: int | None,
+):
+    n = pl.program_id(1)
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    # ---- unpack W4 tile: nibble shifts + sublane concat (K-split layout) ----
+    p = p_ref[:].astype(jnp.int32)  # (TK/2, TN)
+    low = (p << 28) >> 28
+    high = (p << 24) >> 28
+    codes = jnp.concatenate([low, high], axis=0).astype(jnp.float32)  # (TK, TN)
+    scale = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)  # (TK/g, TN)
+    tk, tn = codes.shape
+    w = (codes.reshape(tk // group, group, tn) * scale[:, None, :]).reshape(tk, tn)
+    w = w.astype(jnp.bfloat16)
+
+    x = x_ref[:]
+    acc[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    # ---- rank-k partial: computed once per M tile (n == 0 sweep) ----
+    if rank > 0:
+        @pl.when(n == 0)
+        def _():
+            @pl.when(k == 0)
+            def _():
+                xa[:] = jnp.zeros_like(xa)
+
+            xa[:] += jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32)
+
+    # ---- epilogue on the last K step ----
+    @pl.when(k == nk - 1)
+    def _():
+        r = acc[:]
+        if rank > 0:
+            xa_val = xa[:]
+            if quant_xa_mb is not None:
+                xa_val = _quantize_rows_mx(xa_val, quant_xa_mb)
+            corr = jnp.dot(
+                xa_val.astype(jnp.bfloat16), b_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            if quant_out_mb is not None:
+                corr = _quantize_rows_mx(corr, quant_out_mb)
+            r = r + corr
+        if has_bias:
+            r = r + bias_ref[:].astype(jnp.float32)
+        o_ref[:] = r.astype(o_ref.dtype)
+
+
+def prepare_w4_weights(
+    w: jnp.ndarray,
+    a: jnp.ndarray | None = None,
+    b: jnp.ndarray | None = None,
+    bias: jnp.ndarray | None = None,
+    fmt: MXFormat = MXINT4,
+    tile_k: int = 256,
+):
+    """Offline prep: ``w (out, in)`` → packed serving params.
+
+    Returns dict with ``packed (K/2, N) int8``, ``exps (K/16, N) int8``,
+    ``a (K, R) bf16``, ``b (R, N) bf16``, ``bias (1, N) f32`` (K=in, N=out —
+    the kernel computes X·W^T so weights are stored transposed).
+    """
+    wt = jnp.asarray(w, jnp.float32).T  # (K, N)
+    K, N = wt.shape
+    assert K % tile_k == 0, (K, tile_k)
+    codes, exps = quantize_mx(wt, fmt)
+    packed = pack_int4_ksplit(codes, tile_k=tile_k)
+    out = {
+        "packed": packed,
+        "exps": exps,
+        "tile_k": tile_k,
+        "fmt": fmt,
+        "a": None if a is None else jnp.asarray(a, jnp.bfloat16),
+        "b": None if b is None else jnp.asarray(b, jnp.bfloat16),
+        "bias": None if bias is None else jnp.asarray(bias, jnp.float32)[None, :],
+    }
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mb", "group", "tile_m", "tile_n", "tile_k", "rank",
+        "quant_xa_mb", "quant_out_mb", "out_dtype", "interpret",
+    ),
+)
+def _fused_call(
+    x_q, packed, exps, a, b, bias,
+    *, mb, group, tile_m, tile_n, tile_k, rank,
+    quant_xa_mb, quant_out_mb, out_dtype, interpret,
+):
+    M, K = x_q.shape
+    N = packed.shape[1]
+    grid = (M // tile_m, N // tile_n, K // tile_k)
+
+    in_specs = [
+        pl.BlockSpec((tile_m, tile_k), lambda m, n, k: (m, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k // 2, tile_n), lambda m, n, k: (k, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k // group, tile_n), lambda m, n, k: (k, n),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x_q.astype(jnp.bfloat16), packed, exps]
+    if rank > 0:
+        in_specs += [
+            pl.BlockSpec((tile_k, rank), lambda m, n, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rank, tile_n), lambda m, n, k: (0, n),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [a, b]
+    has_bias = bias is not None
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, tile_n), lambda m, n, k: (0, n),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+
+    kernel = functools.partial(
+        _kernel_variant(rank, has_bias),
+        mb=mb, tile_k=tile_k, group=group, rank=rank, has_bias=has_bias,
+        quant_xa_mb=quant_xa_mb, quant_out_mb=quant_out_mb,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, tile_n), jnp.float32),
+            pltpu.VMEM((tile_m, max(rank, 8)), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K + (2 * M * K * rank + 2 * M * rank * N),
+            bytes_accessed=M * K * 2 + K * N // 2 + K * N // group + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _kernel_variant(rank: int, has_bias: bool):
+    """Adapter dropping absent refs from the kernel signature."""
+
+    def k_fn(*refs, **kw):
+        # refs layout: x, p, e, [a, b], [bias], o, acc, xa
+        idx = 3
+        a_ref = b_ref = bias_ref = None
+        refs = list(refs)
+        if rank > 0:
+            a_ref, b_ref = refs[idx], refs[idx + 1]
+            idx += 2
+        if has_bias:
+            bias_ref = refs[idx]
+            idx += 1
+        o_ref, acc, xa = refs[idx], refs[idx + 1], refs[idx + 2]
+        return _kernel(
+            refs[0], refs[1], refs[2], a_ref, b_ref, bias_ref, o_ref, acc, xa,
+            **kw,
+        )
+
+    return k_fn
+
+
+def qlinear_w4_fused(
+    x_q: jnp.ndarray,
+    prep: dict,
+    *,
+    tile_m: int = 128,
+    tile_n: int = 512,
+    quant_xa_width: int | None = 8,
+    quant_out_width: int | None = 8,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused kernel. ``x_q (M, K)`` should already be
+    activation-quantized (MXINT8 dequantized values, exact in bf16);
+    ``prep`` comes from :func:`prepare_w4_weights`.
+
+    ``quant_xa_width``/``quant_out_width`` emulate the reference's
+    A_out/B_out quantizers on the low-rank partials (None disables).
+    """
+    fmt: MXFormat = prep["fmt"]
+    M, K = x_q.shape
+    N = prep["packed"].shape[1]
+    a, b = prep["a"], prep["b"]
+    rank = 0 if a is None else a.shape[1]
+    tile_k = prep["tile_k"]
+
+    tm = min(tile_m, M) if M >= 8 else 8
+    if M % tm != 0 or M < 8:
+        pad = -M % tm if M >= 8 else 8 - M
+        x_q = jnp.pad(x_q, ((0, pad), (0, 0)))
+    tn = min(tile_n, N)
+    assert N % tn == 0 and K % tile_k == 0
+
+    out = _fused_call(
+        x_q, prep["packed"], prep["exps"], a, b, prep["bias"],
+        mb=fmt.mantissa_bits, group=fmt.group_size,
+        tile_m=tm, tile_n=tn, tile_k=tile_k, rank=rank,
+        quant_xa_mb=None if quant_xa_width is None else quant_xa_width - 1,
+        quant_out_mb=None if quant_out_width is None else quant_out_width - 1,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    return out[:M]
+
+
+def qlinear_w4_fused_emulation(
+    x_q: jnp.ndarray,
+    w: jnp.ndarray,
+    a: jnp.ndarray | None,
+    b: jnp.ndarray | None,
+    bias: jnp.ndarray | None,
+    quant_xa_width: int | None = 8,
+    quant_out_width: int | None = 8,
+) -> jnp.ndarray:
+    """jnp reference of the kernel math (for allclose tests): W4 quantize via
+    the bit-exact `block_fp_quantizer`, bf16 operands, f32 accumulation."""
+    w_q = block_fp_quantizer(
+        w.astype(jnp.float32), width=4, exponent_width=8, exponent_bias=None,
+        block_size=[1, 16], skip_first_dim=False,
+    )
+    y = jnp.dot(
+        x_q.astype(jnp.bfloat16), w_q.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if a is not None:
+        xa = jnp.dot(
+            x_q.astype(jnp.bfloat16), a.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        if quant_xa_width is not None:
+            xa = _quantize_rows_mx(xa, quant_xa_width - 1)
+        corr = jnp.dot(
+            xa.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        if quant_out_width is not None:
+            corr = _quantize_rows_mx(corr, quant_out_width - 1)
+        y = y + corr
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y

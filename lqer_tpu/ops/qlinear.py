@@ -1,0 +1,153 @@
+"""Quantized linear ops with optional low-rank LQER correction.
+
+Functional equivalents of the reference's quantized layers
+(`/root/reference/src/lqer/quantize/quantized_layers/linear.py:12-166`).
+Instead of `nn.Linear` subclasses that mutate their own weights on first
+forward (the `is_ptq` latch, `linear.py:50-59`), we split the op into:
+
+* :func:`prepare_qlinear_params` — the one-time PTQ step: quantize W (and b)
+  in the param pytree. Done offline/at load, which is the same math as the
+  reference latch but functional and jit-friendly.
+* :func:`qlinear` — the per-call math
+  ``Y = X_q W_q^T + b_q  [+ B_out_q((A_out_q(X_q A)) B)]``
+  (`linear.py:145-166`). Activation quantization happens every call with
+  data-dependent shared exponents, exactly like the reference.
+
+A config dict (same schema as the reference q_config/l_config) is resolved
+once into a :class:`QLinearConfig` of concrete quantizer callables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+
+from .quantizers import make_quantizer, passthrough_quantizer
+
+
+@dataclasses.dataclass(frozen=True)
+class QLinearConfig:
+    """Resolved quantizers for one linear layer.
+
+    Defaults mirror `LinearFlexible._setup_quantizers` /
+    `LinearFlexibleLqer._setup_quantizers` (`linear.py:89-132`):
+    x/w/b fall back to ``q_config["default"]``; A_out/B_out fall back to the
+    x-quantizer config (part of the claimed hardware model — the low-rank
+    partial products are quantized to the activation format).
+    """
+
+    x_quantizer: Callable = passthrough_quantizer
+    w_quantizer: Callable = passthrough_quantizer
+    b_quantizer: Callable = passthrough_quantizer
+    a_out_quantizer: Callable = passthrough_quantizer
+    b_out_quantizer: Callable = passthrough_quantizer
+    is_ptq: bool = True
+    is_lqer: bool = False
+    rank: int = 0
+
+    @staticmethod
+    def from_q_config(q_config: dict, l_config: dict | None = None) -> "QLinearConfig":
+        def cfg(key, fallback_keys=()):
+            c = q_config.get(key)
+            for fk in fallback_keys:
+                if c is None:
+                    c = q_config.get(fk)
+            if c is None or c is False:
+                c = q_config.get("default")
+            return c
+
+        x_cfg = cfg("x_quantizer")
+        w_cfg = cfg("w_quantizer")
+        b_cfg = cfg("b_quantizer")
+        a_out_cfg = cfg("A_out_quantizer", fallback_keys=("x_quantizer",))
+        b_out_cfg = cfg("B_out_quantizer", fallback_keys=("x_quantizer",))
+
+        is_lqer = q_config.get("name") == "flexible_lqer"
+        rank = int(l_config.get("rank", 0)) if (l_config and is_lqer) else 0
+        return QLinearConfig(
+            x_quantizer=make_quantizer(x_cfg),
+            w_quantizer=make_quantizer(w_cfg),
+            b_quantizer=make_quantizer(b_cfg),
+            a_out_quantizer=make_quantizer(a_out_cfg),
+            b_out_quantizer=make_quantizer(b_out_cfg),
+            is_ptq=bool(q_config.get("is_ptq", False)),
+            is_lqer=is_lqer,
+            rank=rank,
+        )
+
+
+def prepare_qlinear_params(params: dict, cfg: QLinearConfig) -> dict:
+    """One-time PTQ weight/bias quantization (`linear.py:50-59` latch).
+
+    ``params``: {"weight": (out,in), optional "bias": (out,), optional
+    "A": (in,rank), "B": (rank,out)}. A/B are stored as produced by the
+    approximator and are NOT requantized here (they were quantized when
+    computed, `lqer_svd.py:46-47`).
+    """
+    out = dict(params)
+    out["weight"] = cfg.w_quantizer(params["weight"])
+    if params.get("bias") is not None:
+        out["bias"] = cfg.b_quantizer(params["bias"])
+    return out
+
+
+def qlinear(
+    x: jnp.ndarray,
+    params: dict,
+    cfg: QLinearConfig,
+    *,
+    weights_prepared: bool | None = None,
+) -> jnp.ndarray:
+    """``Y = X_q W_q^T + b_q [+ B_out_q((A_out_q(X_q A)) B)]``
+    (`linear.py:145-166`).
+
+    ``weights_prepared`` defaults to ``cfg.is_ptq``: in PTQ mode weights were
+    quantized offline by :func:`prepare_qlinear_params` (the reference's
+    first-forward latch); with ``is_ptq=False`` weights fake-quantize on every
+    call (`linear.py:158-166` — the QAT/training path, differentiable via the
+    quantizers' STE custom_vjp).
+    """
+    if weights_prepared is None:
+        weights_prepared = cfg.is_ptq
+    w = params["weight"]
+    b = params.get("bias")
+    if not weights_prepared:
+        w = cfg.w_quantizer(w)
+        if b is not None:
+            b = cfg.b_quantizer(b)
+
+    x_q = cfg.x_quantizer(x)
+    y = jnp.matmul(x_q, w.T)
+    if b is not None:
+        y = y + b
+
+    if cfg.is_lqer and params.get("A") is not None:
+        xa = cfg.a_out_quantizer(jnp.matmul(x_q, params["A"]))
+        xab = cfg.b_out_quantizer(jnp.matmul(xa, params["B"]))
+        y = y + xab
+    return y
+
+
+def qmatmul(x: jnp.ndarray, y: jnp.ndarray, q_config: dict) -> jnp.ndarray:
+    """Quantize both operands then matmul — used for QK^T and P·V inside
+    attention (`quantized_functions/matmul.py:12-37`). jnp.matmul covers both
+    the reference's `torch.matmul` and `torch.bmm` (batched) cases."""
+    x_q = make_quantizer(q_config.get("x_quantizer") or q_config.get("default"))(x)
+    y_q = make_quantizer(q_config.get("w_quantizer") or q_config.get("default"))(y)
+    return jnp.matmul(x_q, y_q)
+
+
+def resolve_qmatmul(q_config: dict | None) -> Callable:
+    """Pre-resolve the operand quantizers of a quantized matmul so the
+    returned callable is cheap to trace."""
+    if not q_config:
+        return lambda a, b: jnp.matmul(a, b)
+    xq = make_quantizer(q_config.get("x_quantizer") or q_config.get("default"))
+    yq = make_quantizer(q_config.get("w_quantizer") or q_config.get("default"))
+
+    def fn(a, b):
+        return jnp.matmul(xq(a), yq(b))
+
+    return fn

@@ -12,9 +12,12 @@ emulated path is strictly slower than dense bf16, so >1 means beating the
 reference's effective speed by construction while carrying the full LQER
 low-rank correction math (rank 32, quantized partials).
 
-Measures one decoder layer's 7 linears (q,k,v,o,gate,up,down) at batch M=8
-decode and scales by 32 layers; weights live in HBM and are re-streamed every
-call, so per-layer looping is representative of the full-model sweep.
+Measures one decoder layer's linears at batch M=8 decode and scales by 32
+layers; weights live in HBM and are re-streamed every call, so per-layer
+looping is representative of the full-model sweep. Projections are fused the
+way a serving stack lays them out (QKV together, gate|up together), and tile
+sizes come from experiments/bench_kernel_sweep.py (tile_k=1024, tile_n=1024
+on v5e).
 """
 
 import json
@@ -38,15 +41,22 @@ from lqer_tpu.ops.pallas import prepare_w4_weights, qlinear_w4_fused  # noqa: E4
 from lqer_tpu.ops import block_fp_quantizer  # noqa: E402
 
 HID = 4096
-INTER = 11008
 LAYERS = 32
 RANK = 32
 M = 8  # decode batch
-TILE_K = 256
-# pad 11008 -> 11264 (multiple of 512) for tiling; real serving would pick
-# tile_n dividing 11008 (e.g. 344) — padding overstates our work slightly,
-# which is the conservative direction.
+TILE_K = 1024
+TILE_N = 1024
+# pad 11008 -> 11264 (multiple of 1024) for tiling; padding slightly
+# overstates our work, the conservative direction.
 INTER_PAD = 11264
+
+# serving layout: fused projections (out, in)
+SHAPES = [
+    (3 * HID, HID),        # qkv
+    (HID, HID),            # o
+    (2 * INTER_PAD, HID),  # gate|up
+    (HID, INTER_PAD),      # down
+]
 
 
 def _bench(fn, iters=50, warmup=5):
@@ -64,13 +74,6 @@ def main():
     on_tpu = jax.default_backend() != "cpu"
     key = jax.random.PRNGKey(0)
 
-    shapes = [  # (out, in, count_per_layer)
-        (HID, HID, 4),          # q,k,v,o
-        (INTER_PAD, HID, 2),    # gate,up
-        (HID, INTER_PAD, 1),    # down
-    ]
-
-    # activations (pre-quantized MXINT8, exact in bf16)
     def xq(k, m, kk):
         x = jax.random.normal(k, (m, kk))
         return block_fp_quantizer(
@@ -80,7 +83,7 @@ def main():
 
     fused_fns = []
     dense_fns = []
-    for i, (n_out, n_in, cnt) in enumerate(shapes):
+    for n_out, n_in in SHAPES:
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
         w = jax.random.normal(k1, (n_out, n_in), jnp.float32) * 0.02
         a = jax.random.normal(k2, (n_in, RANK), jnp.float32) * 0.01
@@ -88,30 +91,27 @@ def main():
         prep = prepare_w4_weights(w, a, b, None, tile_k=TILE_K)
         x = xq(k4, M, n_in)
 
-        tile_n = 512 if n_out % 512 == 0 else 256
-        fn = lambda x=x, prep=prep, tile_n=tile_n: qlinear_w4_fused(  # noqa: E731
-            x, prep, tile_m=8, tile_n=tile_n, out_dtype=jnp.bfloat16
+        fn = lambda x=x, prep=prep: qlinear_w4_fused(  # noqa: E731
+            x, prep, tile_m=8, tile_n=TILE_N, out_dtype=jnp.bfloat16
         )
-        fused_fns.append((fn, cnt))
+        fused_fns.append(fn)
 
         w16 = w.astype(jnp.bfloat16)
         dfn = jax.jit(lambda x, w16=w16: jnp.dot(
             x, w16.T, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
-        dense_fns.append((lambda x=x, dfn=dfn: dfn(x), cnt))
+        dense_fns.append(lambda x=x, dfn=dfn: dfn(x))
 
     def layer_fused():
-        outs = []
-        for fn, cnt in fused_fns:
-            for _ in range(cnt):
-                outs.append(fn())
-        return outs[-1]
+        out = None
+        for fn in fused_fns:
+            out = fn()
+        return out
 
     def layer_dense():
-        outs = []
-        for fn, cnt in dense_fns:
-            for _ in range(cnt):
-                outs.append(fn())
-        return outs[-1]
+        out = None
+        for fn in dense_fns:
+            out = fn()
+        return out
 
     iters = 50 if on_tpu else 3
     t_fused = _bench(layer_fused, iters=iters) * LAYERS
@@ -120,8 +120,7 @@ def main():
     tokens_per_s = M / t_fused
     baseline_tokens_per_s = M / t_dense
 
-    # detail to stderr (judged JSON stays one line on stdout)
-    w4_bytes = sum((o * i // 2 + o * i // 16) * c for o, i, c in shapes) * LAYERS
+    w4_bytes = sum((o * i // 2 + o * i // 16) for o, i in SHAPES) * LAYERS
     print(
         f"[bench] backend={jax.default_backend()} fused_step={t_fused*1e3:.2f}ms "
         f"dense_step={t_dense*1e3:.2f}ms "

@@ -105,21 +105,32 @@ def eager_attention(
     """Eager attention with quantized QK^T (`matmul_0`/`bmm_0`) and P·V
     (`matmul_1`/`bmm_1`) — `llama_decoder.py:259-296`, `opt_decoder.py:125-192`.
 
+    The quantized matmuls run on 3-D ``(b·h, s, d)`` operands, matching the
+    reference exactly (`llama_decoder.py:261-263`, `opt_decoder.py:117-120`):
+    the activation quantizer's shared-exponent blocks must not span heads.
+
     ``scale_query=True`` follows OPT (scaling folded into Q before QK^T,
     `opt_decoder.py:89`); otherwise the scores are scaled after the matmul
     (Llama/Mistral convention).
     """
+    b, h, s, d = q.shape
+    kv_len = k.shape[2]
+    q3 = q.reshape(b * h, s, d)
+    k3 = k.reshape(b * h, kv_len, d)
+    v3 = v.reshape(b * h, kv_len, d)
     if scale_query:
-        q = q * scaling
-        scores = qk_matmul(q, jnp.swapaxes(k, -1, -2))
+        q3 = q3 * scaling
+        scores = qk_matmul(q3, jnp.swapaxes(k3, -1, -2))
     else:
-        scores = qk_matmul(q, jnp.swapaxes(k, -1, -2)) * scaling
+        scores = qk_matmul(q3, jnp.swapaxes(k3, -1, -2)) * scaling
+    scores = scores.reshape(b, h, s, kv_len)
     if mask is not None:
         scores = scores + mask
         scores = jnp.maximum(scores, jnp.finfo(scores.dtype).min)
     # fp32 softmax (HF upcasts; exact for our fp32 eval paths too)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return pv_matmul(probs, v)
+    out = pv_matmul(probs.reshape(b * h, s, kv_len), v3)
+    return out.reshape(b, h, s, d)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -215,3 +215,116 @@ def forward(
         tap("lm_head", h)
     lm_head = params.get("lm_head.weight", embed)
     return jnp.matmul(h, lm_head.T)
+
+
+# ---------------------------------------------------------------------------
+# lax.scan layer loop (compile-time scaling for deep models)
+# ---------------------------------------------------------------------------
+LAYER_REL_KEYS = (
+    "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+    "self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj",
+    "input_layernorm", "post_attention_layernorm",
+)
+
+
+def stack_layer_params(params: dict, cfg: LlamaConfig) -> tuple[dict, dict]:
+    """Stack per-layer params into leading-axis (L, ...) arrays for lax.scan.
+
+    Requires every layer to carry the same key set (all-or-none A/B). Returns
+    (stacked, rest) where ``rest`` holds embeddings/norm/head.
+    """
+    stacked: dict[str, jnp.ndarray] = {}
+    consumed = set()
+    for rel in LAYER_REL_KEYS:
+        for suffix in ("weight", "bias", "A", "B"):
+            name0 = f"{layer_prefix(0)}.{rel}.{suffix}"
+            if name0 not in params:
+                continue
+            per_layer = []
+            for i in range(cfg.num_hidden_layers):
+                n = f"{layer_prefix(i)}.{rel}.{suffix}"
+                assert n in params, f"layer {i} missing {rel}.{suffix}"
+                per_layer.append(params[n])
+                consumed.add(n)
+            stacked[f"{rel}.{suffix}"] = jnp.stack(per_layer)
+    rest = {k: v for k, v in params.items() if k not in consumed}
+    return stacked, rest
+
+
+def forward_scan(
+    params: dict,
+    input_ids: jnp.ndarray,
+    cfg: LlamaConfig,
+    layer_qcfg: dict | None = None,
+    stacked: dict | None = None,
+    rest: dict | None = None,
+) -> jnp.ndarray:
+    """`forward` with the layer loop as lax.scan: one trace/compile of the
+    decoder layer regardless of depth (TPU-first: the reference's per-layer
+    module swap has no analogue of this).
+
+    ``layer_qcfg`` is ONE resolved layer config applied to every layer —
+    per-layer heterogeneous configs need the unrolled `forward`.
+    Pass precomputed (stacked, rest) to amortize the stacking.
+    """
+    from .fp_config import FP_LAYER_LLAMA
+
+    if stacked is None or rest is None:
+        stacked, rest = stack_layer_params(params, cfg)
+    q = layer_qcfg if layer_qcfg is not None else FP_LAYER_LLAMA
+
+    b, s = input_ids.shape
+    embed = rest["model.embed_tokens.weight"]
+    h = jnp.take(embed, input_ids, axis=0)
+    cos, sin = rotary_tables(cfg.head_dim, max(s, cfg.max_position_embeddings),
+                             cfg.rope_theta)
+    positions = jnp.arange(s)
+    if cfg.sliding_window is not None and s > cfg.sliding_window:
+        mask = _sliding_window_mask(s, cfg.sliding_window, h.dtype)
+    else:
+        mask = causal_mask(s, dtype=h.dtype)
+
+    attn_cfg = q["attn"]
+    n_rep = cfg.num_attention_heads // cfg.kv_heads
+
+    def rel_mod(sl: dict, rel: str) -> dict:
+        return {
+            "weight": sl.get(f"{rel}.weight"),
+            "bias": sl.get(f"{rel}.bias"),
+            "A": sl.get(f"{rel}.A"),
+            "B": sl.get(f"{rel}.B"),
+        }
+
+    def body(h, sl):
+        residual = h
+        hn = rms_norm(h, rel_mod(sl, "input_layernorm"), cfg.rms_norm_eps)
+        qh = project_heads(hn, rel_mod(sl, "self_attn.q_proj"), attn_cfg.q_proj,
+                           cfg.num_attention_heads)
+        kh = project_heads(hn, rel_mod(sl, "self_attn.k_proj"), attn_cfg.k_proj,
+                           cfg.kv_heads)
+        vh = project_heads(hn, rel_mod(sl, "self_attn.v_proj"), attn_cfg.v_proj,
+                           cfg.kv_heads)
+        qh, kh = apply_rotary(qh, kh, cos, sin, positions)
+        kh = repeat_kv(kh, n_rep)
+        vh = repeat_kv(vh, n_rep)
+        attn = eager_attention(
+            qh, kh, vh, mask, attn_cfg.qk_matmul, attn_cfg.pv_matmul,
+            scaling=cfg.head_dim**-0.5, scale_query=False,
+        )
+        attn = qlinear(merge_heads(attn), rel_mod(sl, "self_attn.o_proj"),
+                       attn_cfg.o_proj)
+        h = residual + attn
+
+        residual = h
+        hn = rms_norm(h, rel_mod(sl, "post_attention_layernorm"),
+                      cfg.rms_norm_eps)
+        gate = qlinear(hn, rel_mod(sl, "mlp.gate_proj"), q["gate_proj"])
+        up = qlinear(hn, rel_mod(sl, "mlp.up_proj"), q["up_proj"])
+        h = residual + qlinear(jax.nn.silu(gate) * up,
+                               rel_mod(sl, "mlp.down_proj"), q["down_proj"])
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, stacked)
+    h = rms_norm(h, _mod(rest, "model.norm"), cfg.rms_norm_eps)
+    lm_head = rest.get("lm_head.weight", embed)
+    return jnp.matmul(h, lm_head.T)

@@ -92,6 +92,10 @@ def _kernel(
     acc[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     # ---- rank-k partial: computed once per M tile (n == 0 sweep) ----
+    # The tiny rank-k dots run with f32 operands: identical products (MXINT
+    # values are exact in bf16 and f32) and portable to the CPU interpreter,
+    # whose DotThunk lacks small bf16 dot support; cost is negligible vs the
+    # main GEMM.
     if rank > 0:
         @pl.when(n == 0)
         def _():
@@ -99,7 +103,10 @@ def _kernel(
             def _():
                 xa[:] = jnp.zeros_like(xa)
 
-            xa[:] += jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32)
+            xa[:] += jnp.dot(
+                x.astype(jnp.float32), a_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
 
     # ---- epilogue on the last K step ----
     @pl.when(k == nk - 1)
@@ -110,7 +117,8 @@ def _kernel(
             if quant_xa_mb is not None:
                 xa_val = _quantize_rows_mx(xa_val, quant_xa_mb)
             corr = jnp.dot(
-                xa_val.astype(jnp.bfloat16), b_ref[:],
+                xa_val.astype(jnp.bfloat16).astype(jnp.float32),
+                b_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
             if quant_out_mb is not None:

@@ -1,0 +1,238 @@
+"""Cache-aware forward steps (prefill + decode) for OPT and Llama/Mistral.
+
+New TPU-native capability (the reference evaluates fixed 2048-token chunks
+only and has no incremental decoding). The same quantized math as the eval
+path runs here — quantized linears with low-rank correction, quantized
+QK^T/P·V — but against a static-shape KV cache, so the whole step jits once
+per (batch, seq) bucket.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import models
+from ..models import llama as llama_mod
+from ..models import opt as opt_mod
+from ..models.common import layer_norm, merge_heads, repeat_kv, rms_norm
+from ..models.fp_config import FP_LAYER_LLAMA, FP_LAYER_OPT
+from .kv_cache import init_kv_cache, update_layer_cache
+
+
+def _lin(x, params, prefix, qc, backend, interpret=False):
+    """Quantized linear: Pallas fused kernel when a serving backend holds a
+    packed prep for this module, else the software emulation."""
+    if backend is not None and prefix in backend:
+        from .pallas_backend import serving_linear
+
+        return serving_linear(x, prefix, backend, qc, interpret=interpret)
+    from ..ops.qlinear import qlinear
+
+    _m = {
+        "weight": params.get(prefix + ".weight"),
+        "bias": params.get(prefix + ".bias"),
+        "A": params.get(prefix + ".A"),
+        "B": params.get(prefix + ".B"),
+    }
+    return qlinear(x, _m, qc)
+
+
+def _heads(y, num_heads):
+    b, s, _ = y.shape
+    return y.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)
+
+
+def _abs_positions(positions: jnp.ndarray, s: int) -> jnp.ndarray:
+    return positions[:, None] + jnp.arange(s)[None, :]  # (b, s)
+
+
+def _cache_mask(q_abs: jnp.ndarray, max_len: int, dtype) -> jnp.ndarray:
+    """(b, 1, s, max_len): query at absolute pos p sees cache slots <= p."""
+    k_idx = jnp.arange(max_len)[None, None, :]
+    ok = k_idx <= q_abs[:, :, None]
+    return jnp.where(ok, 0.0, jnp.finfo(dtype).min).astype(dtype)[:, None, :, :]
+
+
+def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query):
+    """Cache attention with quantized matmuls on 3-D (b·h, ...) operands,
+    matching the reference's reshape-before-quantize layout
+    (`llama_decoder.py:261-263`) so shared-exponent blocks never span heads.
+
+    Exact parity with the chunked eval path relies on invalid cache slots
+    being zero: K^T quantization groups run along the token axis, and zeros
+    neither raise a group's absmax nor requantize to non-zero.
+    """
+    k_full = repeat_kv(k_l, n_rep)
+    v_full = repeat_kv(v_l, n_rep)
+    b, h, s, d = qh.shape
+    kv_len = k_full.shape[2]
+    q3 = qh.reshape(b * h, s, d)
+    k3 = k_full.reshape(b * h, kv_len, d)
+    v3 = v_full.reshape(b * h, kv_len, d)
+    if scale_query:
+        q3 = q3 * scaling
+        scores = attn_cfg.qk_matmul(q3, jnp.swapaxes(k3, -1, -2))
+    else:
+        scores = attn_cfg.qk_matmul(q3, jnp.swapaxes(k3, -1, -2)) * scaling
+    scores = scores.reshape(b, h, s, kv_len) + mask
+    scores = jnp.maximum(scores, jnp.finfo(scores.dtype).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(qh.dtype)
+    out = attn_cfg.pv_matmul(probs.reshape(b * h, s, kv_len), v3)
+    return out.reshape(b, h, s, d)
+
+
+def model_step(
+    params: dict,
+    input_ids: jnp.ndarray,  # (b, s)
+    cache: dict,
+    positions: jnp.ndarray,  # (b,) current write offset per sequence
+    cfg,
+    layer_qcfgs: list | None = None,
+    backend: dict | None = None,
+    interpret: bool = False,
+    valid_lengths: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """Run s tokens through the model updating the cache; returns
+    (logits (b, s, vocab), cache). Works for prefill (s>1) and decode (s=1).
+
+    ``backend``: packed Pallas serving params (see
+    :mod:`lqer_tpu.serving.pallas_backend`); None = software emulation.
+
+    ``valid_lengths`` (b,): during right-padded prefill, the number of real
+    tokens per sequence — K/V writes beyond it are zeroed so padding garbage
+    never lands in the cache (it would perturb the shared-exponent groups of
+    later K^T quantization even though the mask hides it from attention).
+    """
+    if cfg.arch == "opt":
+        return _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
+                         backend, interpret, valid_lengths)
+    return _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
+                       backend, interpret, valid_lengths)
+
+
+def _kv_valid_mask(valid_lengths, s):
+    if valid_lengths is None:
+        return None
+    return (jnp.arange(s)[None, :] < valid_lengths[:, None])  # (b, s)
+
+
+def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
+                backend=None, interpret=False, valid_lengths=None):
+
+    b, s = input_ids.shape
+    max_len = cache["k"].shape[3]
+    embed = params["model.embed_tokens.weight"]
+    h = jnp.take(embed, input_ids, axis=0)
+
+    q_abs = _abs_positions(positions, s)
+    mask = _cache_mask(q_abs, max_len, h.dtype)
+    kv_valid = _kv_valid_mask(valid_lengths, s)
+    cos, sin = llama_mod.rotary_tables(
+        cfg.head_dim, max(max_len, cfg.max_position_embeddings), cfg.rope_theta
+    )
+    n_rep = cfg.num_attention_heads // cfg.kv_heads
+
+    for i in range(cfg.num_hidden_layers):
+        q = layer_qcfgs[i] if layer_qcfgs is not None else FP_LAYER_LLAMA
+        attn_cfg = q["attn"]
+        p = llama_mod.layer_prefix(i)
+        _m = llama_mod._mod
+
+        residual = h
+        hn = rms_norm(h, _m(params, f"{p}.input_layernorm"), cfg.rms_norm_eps)
+        qh = _heads(_lin(hn, params, f"{p}.self_attn.q_proj", attn_cfg.q_proj,
+                         backend, interpret), cfg.num_attention_heads)
+        kh = _heads(_lin(hn, params, f"{p}.self_attn.k_proj", attn_cfg.k_proj,
+                         backend, interpret), cfg.kv_heads)
+        vh = _heads(_lin(hn, params, f"{p}.self_attn.v_proj", attn_cfg.v_proj,
+                         backend, interpret), cfg.kv_heads)
+        qh, kh = llama_mod.apply_rotary(qh, kh, cos, sin, q_abs)
+
+        if kv_valid is not None:
+            kh = kh * kv_valid[:, None, :, None]
+            vh = vh * kv_valid[:, None, :, None]
+        cache, k_l, v_l = update_layer_cache(cache, i, kh, vh, positions)
+        attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
+                       attn_cfg, cfg.head_dim**-0.5, n_rep, scale_query=False)
+        attn = _lin(merge_heads(attn), params, f"{p}.self_attn.o_proj",
+                    attn_cfg.o_proj, backend, interpret)
+        h = residual + attn
+
+        residual = h
+        hn = rms_norm(h, _m(params, f"{p}.post_attention_layernorm"),
+                      cfg.rms_norm_eps)
+        gate = _lin(hn, params, f"{p}.mlp.gate_proj", q["gate_proj"],
+                    backend, interpret)
+        up = _lin(hn, params, f"{p}.mlp.up_proj", q["up_proj"],
+                  backend, interpret)
+        h = residual + _lin(jax.nn.silu(gate) * up, params,
+                            f"{p}.mlp.down_proj", q["down_proj"],
+                            backend, interpret)
+
+    h = rms_norm(h, llama_mod._mod(params, "model.norm"), cfg.rms_norm_eps)
+    lm_head = params.get("lm_head.weight", embed)
+    return jnp.matmul(h, lm_head.T), cache
+
+
+def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
+              backend=None, interpret=False, valid_lengths=None):
+
+    b, s = input_ids.shape
+    max_len = cache["k"].shape[3]
+    embed = params["model.decoder.embed_tokens.weight"]
+    h = jnp.take(embed, input_ids, axis=0)
+    q_abs = _abs_positions(positions, s)
+    h = h + jnp.take(
+        params["model.decoder.embed_positions.weight"], q_abs + 2, axis=0
+    )
+    mask = _cache_mask(q_abs, max_len, h.dtype)
+    kv_valid = _kv_valid_mask(valid_lengths, s)
+
+    for i in range(cfg.num_hidden_layers):
+        q = layer_qcfgs[i] if layer_qcfgs is not None else FP_LAYER_OPT
+        attn_cfg = q["attn"]
+        p = opt_mod.layer_prefix(i)
+        _m = opt_mod._mod
+
+        residual = h
+        hn = layer_norm(h, _m(params, f"{p}.self_attn_layer_norm")) \
+            if cfg.do_layer_norm_before else h
+        qh = _heads(_lin(hn, params, f"{p}.self_attn.q_proj", attn_cfg.q_proj,
+                         backend, interpret), cfg.num_attention_heads)
+        kh = _heads(_lin(hn, params, f"{p}.self_attn.k_proj", attn_cfg.k_proj,
+                         backend, interpret), cfg.num_attention_heads)
+        vh = _heads(_lin(hn, params, f"{p}.self_attn.v_proj", attn_cfg.v_proj,
+                         backend, interpret), cfg.num_attention_heads)
+        if kv_valid is not None:
+            kh = kh * kv_valid[:, None, :, None]
+            vh = vh * kv_valid[:, None, :, None]
+        cache, k_l, v_l = update_layer_cache(cache, i, kh, vh, positions)
+        attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
+                       attn_cfg, cfg.head_dim**-0.5, n_rep=1, scale_query=True)
+        attn = _lin(merge_heads(attn), params, f"{p}.self_attn.out_proj",
+                    attn_cfg.o_proj, backend, interpret)
+        h = residual + attn
+        if not cfg.do_layer_norm_before:
+            h = layer_norm(h, _m(params, f"{p}.self_attn_layer_norm"))
+
+        residual = h
+        hn = layer_norm(h, _m(params, f"{p}.final_layer_norm")) \
+            if cfg.do_layer_norm_before else h
+        hn = _lin(hn, params, f"{p}.fc1", q["fc1"], backend, interpret)
+        hn = jax.nn.relu(hn)
+        hn = _lin(hn, params, f"{p}.fc2", q["fc2"], backend, interpret)
+        h = residual + hn
+        if not cfg.do_layer_norm_before:
+            h = layer_norm(h, _m(params, f"{p}.final_layer_norm"))
+
+    h = layer_norm(h, opt_mod._mod(params, "model.decoder.final_layer_norm"))
+    lm_head = params.get("lm_head.weight", embed)
+    return jnp.matmul(h, lm_head.T), cache
+
+
+def make_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+    kv_heads = cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.num_attention_heads
+    return init_kv_cache(
+        cfg.num_hidden_layers, batch, kv_heads, cfg.head_dim, max_len, dtype
+    )

@@ -1,0 +1,204 @@
+"""Continuous-batching decode engine.
+
+New TPU-native capability (BASELINE.json north star: "continuous batching
+across hosts"); the reference has no serving path. Design:
+
+* fixed ``num_slots`` decode batch — the jitted decode step has one static
+  shape, compiled once;
+* prompts prefill one-at-a-time at bucketed (power-of-two padded) lengths —
+  a handful of prefill compilations — and their per-layer KV is inserted
+  into the slot's cache rows;
+* a Python scheduler admits requests into free slots between decode steps,
+  samples (greedy or temperature), retires sequences on EOS/max_tokens.
+
+Everything device-side is static-shape; the scheduler only moves O(batch)
+scalars per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decode import make_cache, model_step
+from ..utils.logging import get_logger
+
+logger = get_logger("serving")
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_ids: list[int]
+    max_new_tokens: int = 32
+    temperature: float = 0.0  # 0 -> greedy
+    eos_token_id: int | None = None
+    # filled by the engine:
+    output_ids: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class DecodeEngine:
+    """Single-host continuous batching over one jitted decode step."""
+
+    def __init__(
+        self,
+        params: dict,
+        cfg,
+        layer_qcfgs=None,
+        num_slots: int = 4,
+        max_len: int = 512,
+        cache_dtype=jnp.bfloat16,
+        rng_seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.qcfgs = layer_qcfgs
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.cache = make_cache(cfg, num_slots, max_len, cache_dtype)
+        self.lengths = np.zeros(num_slots, dtype=np.int32)  # tokens in cache
+        self.slot_req: list[Request | None] = [None] * num_slots
+        self.key = jax.random.PRNGKey(rng_seed)
+
+        @jax.jit
+        def decode_step(params, cache, tokens, positions):
+            logits, cache = model_step(
+                params, tokens[:, None], cache, positions, cfg, layer_qcfgs
+            )
+            return logits[:, 0, :], cache
+
+        self._decode_step = decode_step
+
+        @functools.partial(jax.jit, static_argnames=("pad_len",))
+        def prefill(params, cache, ids, slot, length, pad_len):
+            # ids: (1, pad_len) right-padded prompt for one slot
+            del pad_len
+            positions = jnp.zeros((1,), jnp.int32)
+            # fresh zeroed 1-slot cache: stale K/V from a previous occupant
+            # must not leak into shared-exponent groups (see model_step's
+            # valid_lengths note)
+            one_cache = {
+                "k": jnp.zeros_like(
+                    jax.lax.dynamic_slice_in_dim(cache["k"], slot, 1, axis=1)
+                ),
+                "v": jnp.zeros_like(
+                    jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1)
+                ),
+            }
+            logits, one_cache = model_step(
+                params, ids, one_cache, positions, cfg, layer_qcfgs,
+                valid_lengths=jnp.reshape(length, (1,)).astype(jnp.int32),
+            )
+            cache = {
+                "k": jax.lax.dynamic_update_slice_in_dim(
+                    cache["k"], one_cache["k"], slot, axis=1
+                ),
+                "v": jax.lax.dynamic_update_slice_in_dim(
+                    cache["v"], one_cache["v"], slot, axis=1
+                ),
+            }
+            last = logits[0, length - 1, :]
+            return last, cache
+
+        self._prefill = prefill
+
+    # ------------------------------------------------------------------
+    def _sample(self, logits: jnp.ndarray, temperature: float) -> int:
+        if temperature <= 0.0:
+            return int(jnp.argmax(logits))
+        self.key, sub = jax.random.split(self.key)
+        return int(jax.random.categorical(sub, logits / temperature))
+
+    def _admit(self, req: Request, slot: int) -> int:
+        ids = req.prompt_ids
+        if len(ids) >= self.max_len:
+            ids = ids[-(self.max_len - req.max_new_tokens - 1):]
+        pad_len = min(_bucket(len(ids)), self.max_len)
+        padded = np.zeros((1, pad_len), dtype=np.int32)
+        padded[0, : len(ids)] = ids
+        last_logits, self.cache = self._prefill(
+            self.params, self.cache, jnp.asarray(padded),
+            jnp.int32(slot), jnp.int32(len(ids)), pad_len,
+        )
+        self.lengths[slot] = len(ids)
+        self.slot_req[slot] = req
+        return self._sample(last_logits, req.temperature)
+
+    def run(self, requests: list[Request]) -> list[Request]:
+        """Process all requests to completion; returns them with
+        ``output_ids`` filled."""
+        queue = list(requests)
+        pending_token = np.zeros(self.num_slots, dtype=np.int32)
+        active = np.zeros(self.num_slots, dtype=bool)
+
+        def try_admit():
+            for s in range(self.num_slots):
+                if not active[s] and queue:
+                    req = queue.pop(0)
+                    tok = self._admit(req, s)
+                    req.output_ids.append(tok)
+                    if req.eos_token_id is not None and tok == req.eos_token_id:
+                        req.done = True
+                        self.slot_req[s] = None
+                        continue
+                    pending_token[s] = tok
+                    active[s] = True
+
+        try_admit()
+        while active.any() or queue:
+            if not active.any():
+                try_admit()
+                continue
+            tokens = jnp.asarray(pending_token)
+            positions = jnp.asarray(self.lengths)
+            logits, self.cache = self._decode_step(
+                self.params, self.cache, tokens, positions
+            )
+            self.lengths += active.astype(np.int32)
+            for s in range(self.num_slots):
+                if not active[s]:
+                    continue
+                req = self.slot_req[s]
+                tok = self._sample(logits[s], req.temperature)
+                req.output_ids.append(tok)
+                hit_eos = req.eos_token_id is not None and tok == req.eos_token_id
+                if hit_eos or len(req.output_ids) >= req.max_new_tokens \
+                        or self.lengths[s] + 1 >= self.max_len:
+                    req.done = True
+                    self.slot_req[s] = None
+                    active[s] = False
+                else:
+                    pending_token[s] = tok
+            try_admit()
+        return requests
+
+
+def generate(
+    params: dict,
+    cfg,
+    prompt_ids: list[int],
+    max_new_tokens: int = 32,
+    layer_qcfgs=None,
+    max_len: int = 256,
+    temperature: float = 0.0,
+    cache_dtype=jnp.bfloat16,
+) -> list[int]:
+    """One-shot convenience wrapper."""
+    engine = DecodeEngine(params, cfg, layer_qcfgs, num_slots=1, max_len=max_len,
+                          cache_dtype=cache_dtype)
+    req = Request(prompt_ids=prompt_ids, max_new_tokens=max_new_tokens,
+                  temperature=temperature)
+    engine.run([req])
+    return req.output_ids

@@ -1,0 +1,85 @@
+"""Pallas serving backend: fused-kernel model step vs software emulation.
+
+Runs in interpret mode on CPU (real-TPU execution is covered by bench.py and
+the verify recipe). Model dims are kernel-aligned (multiples of 256/128).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lqer_tpu import models
+from lqer_tpu.models import LlamaConfig
+from lqer_tpu.serving import make_cache, model_step
+from lqer_tpu.serving.pallas_backend import prepare_serving_params
+
+
+def _q(width, block, skip):
+    return {
+        "name": "block_fp", "width": width, "exponent_width": 8,
+        "exponent_bias": None, "block_size": block, "skip_first_dim": skip,
+    }
+
+
+Q_CONFIG = {
+    "linear": {
+        "name": "flexible_lqer", "is_ptq": True,
+        "x_quantizer": _q(8, [1, 16], True),
+        "w_quantizer": _q(4, [1, 16], False),
+        "b_quantizer": _q(8, [1, 16], False),
+    },
+    "matmul": {"name": "flexible", "x_quantizer": _q(8, [1, 16], True),
+               "w_quantizer": _q(8, [1, 16], True)},
+}
+L_CONFIG = {"linear": {"rank": 32}}
+
+
+def test_pallas_step_matches_emulation():
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=256, layers=1, heads=4,
+                           kv_heads=2, inter=256, max_pos=64)
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    qcfgs = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
+    from lqer_tpu.ops import block_fp_quantizer
+
+    # A/B as the approximator produces them: 8-bit block_fp over [16,1]
+    # blocks (`lqer_svd.py:46-47`) — values exactly representable in bf16,
+    # which is what makes the kernel's bf16 operand path lossless.
+    def ab_q(x):
+        return block_fp_quantizer(x, width=8, exponent_width=8,
+                                  block_size=[16, 1], skip_first_dim=False)
+
+    for i in range(cfg.num_hidden_layers):
+        for prefix, _ in models.quantizable_module_prefixes(cfg, i):
+            out_dim, in_dim = params[prefix + ".weight"].shape
+            params[prefix + ".A"] = ab_q(
+                jax.random.normal(jax.random.PRNGKey(i + 10), (in_dim, 32)) * 0.01
+            )
+            params[prefix + ".B"] = ab_q(
+                jax.random.normal(jax.random.PRNGKey(i + 20), (32, out_dim)) * 0.01
+            )
+
+    # serving prep packs from the ORIGINAL weights (bit-exact re-derivation
+    # of W_q); the emulated reference path uses the PTQ'd params
+    backend = prepare_serving_params(params, cfg, qcfgs)
+    assert len(backend) == 7
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    ids = jnp.asarray([[3, 17, 42, 9]], dtype=jnp.int32)
+    pos = jnp.zeros((1,), jnp.int32)
+
+    cache_a = make_cache(cfg, 1, 32, dtype=jnp.float32)
+    ref_logits, _ = model_step(params, ids, cache_a, pos, cfg, qcfgs)
+
+    cache_b = make_cache(cfg, 1, 32, dtype=jnp.float32)
+    out_logits, _ = model_step(params, ids, cache_b, pos, cfg, qcfgs,
+                               backend=backend, interpret=True)
+
+    ref = np.asarray(ref_logits)
+    out = np.asarray(out_logits)
+    # bf16 operand rounding is exact for MXINT values; differences come from
+    # f32 accumulation order inside the kernel vs the XLA dot
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+    # top-1 predictions must agree
+    np.testing.assert_array_equal(
+        np.argmax(out, axis=-1), np.argmax(ref, axis=-1)
+    )

@@ -1,0 +1,149 @@
+"""Serving tests: KV-cache decode parity with the full forward, and the
+continuous-batching engine.
+
+Oracle: greedy decoding through the cache path must produce exactly the same
+tokens as greedy decoding by re-running the full (cache-less) eval forward
+each step.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lqer_tpu import models
+from lqer_tpu.models import LlamaConfig, OPTConfig
+from lqer_tpu.serving import DecodeEngine, Request, generate, make_cache, model_step
+
+
+def _q(width, block, skip):
+    return {
+        "name": "block_fp", "width": width, "exponent_width": 8,
+        "exponent_bias": None, "block_size": block, "skip_first_dim": skip,
+    }
+
+
+Q_CONFIG = {
+    "linear": {
+        "name": "flexible_lqer", "is_ptq": True,
+        "x_quantizer": _q(8, [1, 16], True),
+        "w_quantizer": _q(4, [1, 16], False),
+        "b_quantizer": _q(8, [1, 16], False),
+    },
+    "matmul": {"name": "flexible", "x_quantizer": _q(8, [1, 16], True),
+               "w_quantizer": _q(8, [1, 16], True)},
+    "bmm": {"name": "flexible", "x_quantizer": _q(8, [1, 16], True),
+            "w_quantizer": _q(8, [1, 16], True)},
+}
+L_CONFIG = {"linear": {"rank": 8}}
+
+
+def _greedy_reference(params, cfg, qcfgs, prompt, n_new):
+    """Re-run the full eval forward each step (no cache) — the oracle."""
+    ids = list(prompt)
+    out = []
+    for _ in range(n_new):
+        logits = models.forward(
+            params, jnp.asarray([ids], dtype=jnp.int32), cfg, qcfgs
+        )
+        tok = int(jnp.argmax(logits[0, -1]))
+        out.append(tok)
+        ids.append(tok)
+    return out
+
+
+@pytest.mark.parametrize("arch", ["llama", "opt"])
+def test_cached_decode_matches_full_forward(arch):
+    if arch == "llama":
+        cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
+                               kv_heads=2, inter=96)
+    else:
+        cfg = OPTConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
+                             ffn=96)
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    # use FP32 cache: bf16 KV would diverge from the fp32 oracle
+    prompt = [3, 17, 42, 9, 88]
+    ref = _greedy_reference(params, cfg, None, prompt, 6)
+
+    cache = make_cache(cfg, batch=1, max_len=64, dtype=jnp.float32)
+    logits, cache = model_step(
+        params, jnp.asarray([prompt], dtype=jnp.int32), cache,
+        jnp.zeros((1,), jnp.int32), cfg, None,
+    )
+    tok = int(jnp.argmax(logits[0, -1]))
+    got = [tok]
+    pos = len(prompt)
+    for _ in range(5):
+        logits, cache = model_step(
+            params, jnp.asarray([[tok]], dtype=jnp.int32), cache,
+            jnp.asarray([pos], jnp.int32), cfg, None,
+        )
+        tok = int(jnp.argmax(logits[0, -1]))
+        got.append(tok)
+        pos += 1
+    assert got == ref, (got, ref)
+
+
+def test_cached_decode_quantized_lqer():
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
+                           kv_heads=2, inter=96)
+    params = models.init_params(cfg, jax.random.PRNGKey(1))
+    qcfgs = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
+    params = models.prepare_ptq(params, cfg, qcfgs)
+    for i in range(cfg.num_hidden_layers):
+        for prefix, _ in models.quantizable_module_prefixes(cfg, i):
+            out_dim, in_dim = params[prefix + ".weight"].shape
+            params[prefix + ".A"] = jnp.zeros((in_dim, 8))
+            params[prefix + ".B"] = jax.random.normal(
+                jax.random.PRNGKey(i), (8, out_dim)) * 0.01
+
+    prompt = [5, 9, 33]
+    got = generate(params, cfg, prompt, max_new_tokens=4, layer_qcfgs=qcfgs,
+                   max_len=64, cache_dtype=jnp.float32)
+    # The engine's jitted steps and the eager full forward can differ in f32
+    # accumulation order (on this random-init tiny model logits are near-tied),
+    # so instead of exact token equality, check every emitted token is the
+    # full-forward argmax of its own prefix within numerical noise.
+    ids = list(prompt)
+    for tok in got:
+        logits = np.asarray(models.forward(
+            params, jnp.asarray([ids], dtype=jnp.int32), cfg, qcfgs
+        ))[0, -1]
+        assert logits[tok] >= logits.max() - 1e-3, (
+            tok, int(logits.argmax()), float(logits.max() - logits[tok])
+        )
+        ids.append(tok)
+
+
+def test_engine_continuous_batching():
+    cfg = OPTConfig.tiny(vocab_size=64, hidden=32, layers=1, heads=2, ffn=48)
+    params = models.init_params(cfg, jax.random.PRNGKey(2))
+    engine = DecodeEngine(params, cfg, None, num_slots=2, max_len=64,
+                          cache_dtype=jnp.float32)
+    reqs = [
+        Request(prompt_ids=[1, 2, 3], max_new_tokens=5),
+        Request(prompt_ids=[4, 5], max_new_tokens=3),
+        Request(prompt_ids=[6, 7, 8, 9], max_new_tokens=4),  # waits for a slot
+    ]
+    done = engine.run(reqs)
+    assert all(r.done for r in done)
+    assert len(done[0].output_ids) == 5
+    assert len(done[1].output_ids) == 3
+    assert len(done[2].output_ids) == 4
+    # per-request outputs must match single-request greedy decoding
+    for r in reqs:
+        solo = _greedy_reference(params, cfg, None, r.prompt_ids,
+                                 len(r.output_ids))
+        assert r.output_ids == solo, (r.output_ids, solo)
+
+
+def test_engine_eos_stops():
+    cfg = OPTConfig.tiny(vocab_size=64, hidden=32, layers=1, heads=2, ffn=48)
+    params = models.init_params(cfg, jax.random.PRNGKey(3))
+    # find which token greedy produces first, use it as "EOS"
+    first = _greedy_reference(params, cfg, None, [1, 2], 1)[0]
+    engine = DecodeEngine(params, cfg, None, num_slots=1, max_len=64,
+                          cache_dtype=jnp.float32)
+    req = Request(prompt_ids=[1, 2], max_new_tokens=10, eos_token_id=first)
+    engine.run([req])
+    assert req.done and req.output_ids == [first]

@@ -79,6 +79,8 @@ def _kernel(
         acc[:] = jnp.zeros_like(acc)
 
     # ---- unpack W4 tile: nibble shifts + sublane concat (K-split layout) ----
+    # (A split-X two-dot variant avoiding the concat measured ~15% slower on
+    # v5e — the single large dot wins; see experiments/bench_kernel_sweep.py.)
     p = p_ref[:].astype(jnp.int32)  # (TK/2, TN)
     low = (p << 28) >> 28
     high = (p << 24) >> 28
@@ -207,6 +209,14 @@ def _fused_call(
         quant_xa_mb=quant_xa_mb, quant_out_mb=quant_out_mb,
     )
 
+    # m tiles are independent; n and k carry scratch state (xa, acc)
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        )
+    except TypeError:  # older field layout
+        compiler_params = None
+
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -223,6 +233,7 @@ def _fused_call(
             bytes_accessed=M * K * 2 + K * N // 2 + K * N // group + M * N * 2,
             transcendentals=0,
         ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*args)
 

@@ -1,0 +1,111 @@
+"""Quantized collectives: compress activations to MXINT8 before crossing ICI.
+
+EQuARX-style (see PAPERS.md) capability the reference cannot express (it has
+no communication backend at all, SURVEY.md §2.9): a tensor-parallel
+all-gather moves shared-exponent int8 codes + per-16-group int8 exponents —
+~2.1x less interconnect traffic than bf16 — and decodes on arrival. Values
+are exactly the MXINT8 grid (the same activation format the quantized
+matmuls consume), so feeding a gathered activation into a quantized linear
+loses nothing: the x_quantizer would have produced the same grid anyway.
+
+Built on `shard_map` + `lax.all_gather`; XLA routes the int8 payload over
+ICI. A Pallas RDMA ring variant is a natural follow-up once multi-chip
+hardware is available to validate against.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def mx8_encode(x: jnp.ndarray, group: int = 16):
+    """(…, F) float → (codes int8, exps int8) with groups along the last dim.
+
+    Same numerics as `block_fp_quantizer(width=8, block_size=[1, group],
+    skip_first_dim=True)` for F divisible by `group`.
+    """
+    *lead, f = x.shape
+    assert f % group == 0, (f, group)
+    xf = x.astype(jnp.float32).reshape(*lead, f // group, group)
+    bmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    nz_min = jnp.min(jnp.where(bmax != 0, bmax, jnp.inf))
+    fill = jnp.where(jnp.isinf(nz_min), jnp.float32(1.0), nz_min)
+    bmax = jnp.where(bmax == 0, fill, bmax)
+    e = jnp.clip(jnp.ceil(jnp.log2(bmax)), -127, 128)
+    sign = jnp.sign(xf + 1e-9)
+    mant = jnp.clip(
+        jnp.round((jnp.abs(xf) + 1e-9) / jnp.exp2(e) * 128.0), 0, 127
+    )
+    codes = (sign * mant).astype(jnp.int8).reshape(*lead, f)
+    exps = e.astype(jnp.int8).reshape(*lead, f // group)
+    return codes, exps
+
+
+def mx8_decode(codes: jnp.ndarray, exps: jnp.ndarray, group: int = 16,
+               dtype=jnp.float32) -> jnp.ndarray:
+    *lead, f = codes.shape
+    scale = jnp.exp2(exps.astype(jnp.float32) - 7.0)
+    v = codes.astype(jnp.float32).reshape(*lead, f // group, group)
+    v = v * scale[..., None]
+    return v.reshape(*lead, f).astype(dtype)
+
+
+def quantized_all_gather(
+    x: jnp.ndarray,
+    axis_name: str,
+    *,
+    gather_axis: int = 0,
+    group: int = 16,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """all_gather(x) with MXINT8 compression over the wire.
+
+    Call inside `shard_map`; equivalent (bit-for-bit) to
+    ``lax.all_gather(mx8_roundtrip(x), axis_name)`` — the quantization error
+    is exactly one activation-format quantization, which downstream quantized
+    ops apply anyway.
+    """
+    codes, exps = mx8_encode(x, group)
+    codes_g = jax.lax.all_gather(codes, axis_name, axis=gather_axis, tiled=True)
+    exps_g = jax.lax.all_gather(exps, axis_name, axis=gather_axis, tiled=True)
+    return mx8_decode(codes_g, exps_g, group, dtype)
+
+
+def quantized_psum_scatter(
+    x: jnp.ndarray,
+    axis_name: str,
+    *,
+    scatter_axis: int = 0,
+    group: int = 16,
+) -> jnp.ndarray:
+    """Reduce-scatter where each hop's payload is MXINT8-compressed.
+
+    Ring reduce-scatter via ppermute: at each of the N-1 steps a shard-sized
+    chunk is quantized, sent one hop, decoded and accumulated. The f32
+    accumulation happens at full precision; only the wire format is 8-bit
+    (per-hop requantization adds one quantization per hop, the EQuARX
+    trade-off).
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    chunks = jnp.split(x, n, axis=scatter_axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    # device-dependent chunk selection must be dynamic: stack + take
+    stacked = jnp.stack(chunks)  # (n, ..., F/n)
+
+    def take(i):
+        return jnp.take(stacked, jnp.mod(i, n), axis=0)
+
+    # ring schedule: device i starts with its local chunk (i-1); at step s it
+    # receives the partial for chunk (i-1-s) and adds its local copy; after
+    # n-1 steps it owns the fully reduced chunk i.
+    acc = take(idx - 1)
+    for step in range(1, n):
+        codes, exps = mx8_encode(acc, group)
+        codes = jax.lax.ppermute(codes, axis_name, perm)
+        exps = jax.lax.ppermute(exps, axis_name, perm)
+        received = mx8_decode(codes, exps, group)
+        acc = received + take(idx - 1 - step)
+    return acc

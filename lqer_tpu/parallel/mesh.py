@@ -35,3 +35,30 @@ def make_mesh(
 
     dev_array = np.asarray(devices).reshape(dp, tp_)
     return Mesh(dev_array, axis_names=("dp", "tp"))
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` (SURVEY.md §2.9 —
+    the reference has no communication backend; on a TPU pod slice this plus
+    `make_mesh(tp=<chips per host×...>)` replaces its accelerate device
+    maps). On Cloud TPU all arguments are auto-detected from the metadata
+    server; pass them explicitly elsewhere."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def tp_over_ici_mesh(tp_per_host: int | None = None) -> Mesh:
+    """Pod-slice convention: tp spans the fast ICI axis within each host's
+    chips (inner, contiguous), dp spans hosts over DCN (outer). With
+    jax.distributed initialized, `jax.devices()` is ordered host-major, so
+    the default reshape already places tp on intra-host chips."""
+    n_local = jax.local_device_count()
+    tp = tp_per_host or n_local
+    return make_mesh(tp=tp)

@@ -42,6 +42,7 @@ from .utils import (
     override_args,
     save_config,
 )
+from .utils import wandb_compat
 
 logger = get_logger("runners")
 
@@ -196,6 +197,12 @@ def run_approximator(config: dict, project_path: Path) -> dict:
         config.setdefault("visualize", {})["error_T_dict"] = error_T_path.as_posix()
 
     rows = ret["df"]
+    wandb_compat.log_table("1/n * ||AB - Q_error^T||_1", rows)
+    if rows:
+        wandb_compat.log_summary(
+            avg_abs_error=sum(r["l1_norm(AB-Q_error_T)/n"] for r in rows)
+            / len(rows)
+        )
     try:
         import pandas as pd
 
@@ -250,6 +257,13 @@ def run_evaluate_perplexity(config: dict, project_path: Path) -> dict:
     )
     with open(save_file, "w") as f:
         json.dump(results, f, indent=4)
+    wandb_compat.log_table(
+        f"{eval_ppl_config['dataset']}_results",
+        [{"entry": k, "value": v} for k, v in results.items()],
+    )
+    wandb_compat.log_summary(
+        **{f"{eval_ppl_config['dataset']}_ppl": results["perplexity"]}
+    )
     return config
 
 
@@ -333,6 +347,7 @@ def parse_args(action: str, argv=None):
 def run_pipeline(argv=None) -> dict:
     """Profile -> Approximate -> Evaluate (`runners.py:348-406`)."""
     config, prj = parse_args("pipeline", argv)
+    wandb_compat.maybe_init(config, "pipeline")
 
     stage_dirs = {
         "profile": prj.parent / "profile",
@@ -371,5 +386,6 @@ def run_pipeline(argv=None) -> dict:
         )
 
     save_config(config, prj / "config.toml")
+    wandb_compat.finish()
     logger.info("✅ Done.")
     return config

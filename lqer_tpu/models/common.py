@@ -135,7 +135,10 @@ def eager_attention(
 
 @dataclasses.dataclass(frozen=True)
 class AttnQConfig:
-    """Resolved quantization for one attention block."""
+    """Resolved quantization for one attention block.
+
+    ``qk_cfg``/``pv_cfg`` keep the raw matmul q_configs so the fused Pallas
+    attention can check eligibility and re-derive operand quantizers."""
 
     q_proj: QLinearConfig
     k_proj: QLinearConfig
@@ -143,6 +146,8 @@ class AttnQConfig:
     o_proj: QLinearConfig
     qk_matmul: Callable
     pv_matmul: Callable
+    qk_cfg: dict | None = None
+    pv_cfg: dict | None = None
 
 
 def project_heads(x, params, cfg: QLinearConfig, num_heads: int):
@@ -156,3 +161,84 @@ def merge_heads(x):
     """(b, h, s, d) -> (b, s, e)."""
     b, h, s, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas attention integration
+# ---------------------------------------------------------------------------
+def _std_a8(cfg: dict | None) -> bool:
+    """True if cfg is the standard activation format the fused kernel
+    implements: block_fp, exponent_width 8, block [1,16], skip_first_dim."""
+    if not cfg:
+        return False
+    return (
+        cfg.get("name") == "block_fp"
+        and cfg.get("exponent_width") == 8
+        and list(cfg.get("block_size", [])) == [1, 16]
+        and cfg.get("skip_first_dim") is True
+        and cfg.get("exponent_bias") in (None, "NA")
+    )
+
+
+def supports_fused_attention(attn_cfg: "AttnQConfig") -> bool:
+    """Fused path covers the reference's canonical A8 attention quantization
+    (both operands of both matmuls in the standard activation format with a
+    common width)."""
+    cfgs = []
+    for mm in (attn_cfg.qk_cfg, attn_cfg.pv_cfg):
+        if mm is None:
+            return False
+        x = mm.get("x_quantizer") or mm.get("default")
+        w = mm.get("w_quantizer") or mm.get("default")
+        cfgs += [x, w]
+    if not all(_std_a8(c) for c in cfgs):
+        return False
+    widths = {c["width"] for c in cfgs}
+    return len(widths) == 1
+
+
+def fused_quantized_attention(
+    q: jnp.ndarray,  # (b, h, s, d)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    attn_cfg: "AttnQConfig",
+    scaling: float,
+    *,
+    scale_query: bool = False,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Causal attention through the fused Pallas kernel with the same
+    quantization semantics as the eager path (pre-quantized Q/K/V, in-kernel
+    P quantization). Caller must have checked `supports_fused_attention`."""
+    from ..ops.quantizers import block_fp_quantizer
+    from ..ops.pallas.attention import quantized_attention
+
+    width = (attn_cfg.qk_cfg.get("x_quantizer")
+             or attn_cfg.qk_cfg.get("default"))["width"]
+
+    def aq(x):
+        return block_fp_quantizer(
+            x, width=width, exponent_width=8, block_size=[1, 16],
+            skip_first_dim=True,
+        )
+
+    b, h, s, d = q.shape
+    kv_len = k.shape[2]
+    q3 = q.reshape(b * h, s, d)
+    k3 = k.reshape(b * h, kv_len, d)
+    v3 = v.reshape(b * h, kv_len, d)
+    if scale_query:
+        q3 = q3 * scaling
+        kernel_scale = 1.0
+    else:
+        kernel_scale = scaling
+    q_q = aq(q3)
+    # K^T quantization groups run along tokens (the eager layout)
+    k_q = jnp.swapaxes(aq(jnp.swapaxes(k3, 1, 2)), 1, 2)
+    v_q = aq(v3)
+    out = quantized_attention(
+        q_q, k_q, v_q, scale=kernel_scale,
+        tile_s=min(256, max(8, s)), p_width=width, group=16,
+        causal=True, interpret=interpret,
+    )
+    return out.reshape(b, h, s, d).astype(q.dtype)

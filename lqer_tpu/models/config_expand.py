@@ -123,6 +123,8 @@ def resolve_layer(q_layer: dict, l_layer: dict | None, arch: str) -> dict:
             ),
             qk_matmul=resolve_qmatmul(attn_q.get("bmm_0")),
             pv_matmul=resolve_qmatmul(attn_q.get("bmm_1")),
+            qk_cfg=attn_q.get("bmm_0"),
+            pv_cfg=attn_q.get("bmm_1"),
         )
         return {
             "attn": attn,
@@ -146,6 +148,8 @@ def resolve_layer(q_layer: dict, l_layer: dict | None, arch: str) -> dict:
             ),
             qk_matmul=resolve_qmatmul(attn_q.get("matmul_0")),
             pv_matmul=resolve_qmatmul(attn_q.get("matmul_1")),
+            qk_cfg=attn_q.get("matmul_0"),
+            pv_cfg=attn_q.get("matmul_1"),
         )
         return {
             "attn": attn,

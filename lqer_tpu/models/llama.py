@@ -27,12 +27,14 @@ from ..ops.qlinear import qlinear
 from .common import (
     causal_mask,
     eager_attention,
+    fused_quantized_attention,
     merge_heads,
     project_heads,
     repeat_kv,
     rms_norm,
     rotary_tables,
     apply_rotary,
+    supports_fused_attention,
 )
 
 
@@ -141,6 +143,7 @@ def decoder_layer(
     sin: jnp.ndarray,
     positions: jnp.ndarray,
     tap=None,
+    fused_attention: bool = False,
 ) -> jnp.ndarray:
     from .fp_config import FP_LAYER_LLAMA
 
@@ -165,10 +168,15 @@ def decoder_layer(
     kh = repeat_kv(kh, n_rep)
     vh = repeat_kv(vh, n_rep)
 
-    attn = eager_attention(
-        qh, kh, vh, mask, attn_cfg.qk_matmul, attn_cfg.pv_matmul,
-        scaling=cfg.head_dim**-0.5, scale_query=False,
-    )
+    if fused_attention:
+        attn = fused_quantized_attention(
+            qh, kh, vh, attn_cfg, scaling=cfg.head_dim**-0.5,
+        )
+    else:
+        attn = eager_attention(
+            qh, kh, vh, mask, attn_cfg.qk_matmul, attn_cfg.pv_matmul,
+            scaling=cfg.head_dim**-0.5, scale_query=False,
+        )
     attn = merge_heads(attn)
     tap(f"{p}.self_attn.o_proj", attn)
     attn = qlinear(attn, _mod(params, f"{p}.self_attn.o_proj"), attn_cfg.o_proj)
@@ -192,6 +200,7 @@ def forward(
     cfg: LlamaConfig,
     layer_qcfgs: list[dict] | None = None,
     tap=None,
+    fused_attention: bool = False,
 ) -> jnp.ndarray:
     b, s = input_ids.shape
     embed = params["model.embed_tokens.weight"]
@@ -200,15 +209,24 @@ def forward(
     cos, sin = rotary_tables(cfg.head_dim, max(s, cfg.max_position_embeddings),
                              cfg.rope_theta)
     positions = jnp.arange(s)
-    if cfg.sliding_window is not None and s > cfg.sliding_window:
+    sliding = cfg.sliding_window is not None and s > cfg.sliding_window
+    if sliding:
         mask = _sliding_window_mask(s, cfg.sliding_window, h.dtype)
     else:
         mask = causal_mask(s, dtype=h.dtype)
 
+    if fused_attention:
+        # eligibility: pure-causal mask + canonical A8 quantization
+        ok = (not sliding) and layer_qcfgs is not None and all(
+            supports_fused_attention(qc["attn"]) for qc in layer_qcfgs
+        )
+        if not ok:
+            fused_attention = False
+
     for i in range(cfg.num_hidden_layers):
         qcfg = layer_qcfgs[i] if layer_qcfgs is not None else None
         h = decoder_layer(h, params, cfg, i, qcfg, mask, cos, sin, positions,
-                          tap=tap)
+                          tap=tap, fused_attention=fused_attention)
 
     h = rms_norm(h, _mod(params, "model.norm"), cfg.rms_norm_eps)
     if tap is not None:

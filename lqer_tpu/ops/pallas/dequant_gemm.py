@@ -270,7 +270,7 @@ def qlinear_w4_fused(
     quant_xa_width: int | None = 8,
     quant_out_width: int | None = 8,
     out_dtype=jnp.float32,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Run the fused kernel. ``x_q (M, K)`` should already be
     activation-quantized (MXINT8 dequantized values, exact in bf16);
@@ -278,7 +278,10 @@ def qlinear_w4_fused(
 
     ``quant_xa_width``/``quant_out_width`` emulate the reference's
     A_out/B_out quantizers on the low-rank partials (None disables).
+    ``interpret=None`` auto-selects interpreter mode off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     fmt: MXFormat = prep["fmt"]
     M, K = x_q.shape
     N = prep["packed"].shape[1]

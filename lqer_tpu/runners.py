@@ -229,7 +229,13 @@ def _build_quantized_forward(config: dict, disable_lqer: bool, dtype):
     elif qcfgs is not None:
         logger.info("🔉 LQER disabled. Evaluating WxAy without Ak Bk")
 
-    fwd = jax.jit(lambda ids: models.forward(params, ids, cfg, qcfgs))
+    fused_attn = bool(config.get("evaluate", {}).get("fused_attention", False))
+    if fused_attn and cfg.arch in ("llama", "mistral"):
+        logger.info("using fused Pallas attention")
+        fwd = jax.jit(lambda ids: models.get_arch_module(cfg).forward(
+            params, ids, cfg, qcfgs, fused_attention=True))
+    else:
+        fwd = jax.jit(lambda ids: models.forward(params, ids, cfg, qcfgs))
     return cfg, params, qcfgs, fwd
 
 

@@ -1,0 +1,95 @@
+"""Fused quantized attention kernel vs the eager emulated attention.
+
+Interpret mode on CPU; the oracle is exactly the eval path's math: quantized
+QK^T (operands pre-quantized), f32 softmax, x_quantizer(P), P·V.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lqer_tpu.ops import block_fp_quantizer
+from lqer_tpu.ops.pallas.attention import quantized_attention
+
+
+def _aq(x):
+    """activation quantizer: per (row, 16-group along last dim)."""
+    return block_fp_quantizer(
+        x, width=8, exponent_width=8, block_size=[1, 16], skip_first_dim=True
+    )
+
+
+def _kq_along_tokens(k):
+    """K^T quantization (groups along tokens) as the eager path does it:
+    quantize k^T (bh, d, L) with [1,16] blocks then transpose back."""
+    kt = jnp.swapaxes(k, 1, 2)
+    kt_q = _aq(kt)
+    return jnp.swapaxes(kt_q, 1, 2)
+
+
+def _eager_oracle(q_q, k_q, v_q, scale):
+    s = jnp.einsum("bsd,bld->bsl", q_q, k_q).astype(jnp.float32) * scale
+    L = s.shape[-1]
+    q_idx = jnp.arange(s.shape[1])[:, None]
+    kv_idx = jnp.arange(L)[None, :]
+    mask = jnp.where(kv_idx <= q_idx, 0.0, -jnp.inf)
+    s = s + mask[None]
+    p = jax.nn.softmax(s, axis=-1)
+    p_q = _aq(p)
+    return jnp.einsum("bsl,bld->bsd", p_q, v_q)
+
+
+@pytest.mark.parametrize("S,L,D", [(64, 64, 32), (96, 96, 64)])
+def test_kernel_matches_eager(S, L, D):
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    BH = 4
+    q = jax.random.normal(k1, (BH, S, D))
+    k = jax.random.normal(k2, (BH, L, D))
+    v = jax.random.normal(k3, (BH, L, D))
+    q_q, k_q, v_q = _aq(q), _kq_along_tokens(k), _aq(v)
+    scale = 1.0 / np.sqrt(D)
+
+    ref = np.asarray(_eager_oracle(q_q, k_q, v_q, scale))
+    out = np.asarray(
+        quantized_attention(q_q, k_q, v_q, scale=scale, tile_s=32,
+                            group=16, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_kernel_fp_variant():
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (2, 32, 32))
+    k = jax.random.normal(k2, (2, 32, 32))
+    v = jax.random.normal(k3, (2, 32, 32))
+    scale = 1.0 / np.sqrt(32)
+
+    s = jnp.einsum("bsd,bld->bsl", q, k) * scale
+    q_idx = jnp.arange(32)[:, None]
+    kv_idx = jnp.arange(32)[None, :]
+    s = s + jnp.where(kv_idx <= q_idx, 0.0, -jnp.inf)[None]
+    ref = np.asarray(jnp.einsum("bsl,bld->bsd", jax.nn.softmax(s, -1), v))
+
+    out = np.asarray(
+        quantized_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v,
+            scale=scale, tile_s=32, p_width=None, interpret=True,
+        )
+    )
+    # bf16 rounding of raw (non-grid) q/k inputs dominates the tolerance
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_padded_seq_tile():
+    # S not a multiple of tile_s -> padding path
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = _aq(jax.random.normal(k1, (2, 40, 32)))
+    k = _kq_along_tokens(jax.random.normal(k2, (2, 48, 32)))
+    v = _aq(jax.random.normal(k3, (2, 48, 32)))
+    out = quantized_attention(q, k, v, scale=0.2, tile_s=32, interpret=True)
+    assert out.shape == (2, 40, 32)
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -17,8 +17,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import jax.numpy as jnp  # noqa: E402
-
 from lqer_tpu import models  # noqa: E402
 from lqer_tpu.models.checkpoint import load_tensor_dict  # noqa: E402
 from lqer_tpu.runners import _get_dtype, build_model_config, build_params  # noqa: E402

@@ -18,7 +18,6 @@ import numpy as np
 try:
     import lm_eval
     from lm_eval.api.model import LM
-    from lm_eval.api.instance import Instance
 
     HAS_LM_EVAL = True
 except ImportError as _e:  # pragma: no cover - env without lm_eval

@@ -32,6 +32,11 @@ ARCH_MODULES = {"opt": opt_mod, "llama": llama_mod, "mistral": llama_mod}
 # model_name -> config factory (HF ids kept for config-file compatibility)
 MODEL_CONFIGS: dict[str, Callable] = {
     "facebook/opt-125m": OPTConfig.opt_125m,
+    "facebook/opt-350m": lambda: OPTConfig(
+        hidden_size=1024, ffn_dim=4096, num_hidden_layers=24,
+        num_attention_heads=16, do_layer_norm_before=False,
+        word_embed_proj_dim=512,
+    ),
     "facebook/opt-1.3b": lambda: OPTConfig(
         hidden_size=2048, ffn_dim=8192, num_hidden_layers=24, num_attention_heads=32
     ),

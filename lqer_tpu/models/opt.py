@@ -39,11 +39,18 @@ class OPTConfig:
     enable_bias: bool = True
     layer_norm_elementwise_affine: bool = True
     pad_token_id: int = 1
+    # OPT-350m: embeddings live in a smaller space with project_in/out
+    # linears around the decoder stack (HF `word_embed_proj_dim`)
+    word_embed_proj_dim: int | None = None
     arch: str = "opt"
 
     @property
     def head_dim(self):
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def embed_dim(self):
+        return self.word_embed_proj_dim or self.hidden_size
 
     @staticmethod
     def tiny(vocab_size: int = 512, hidden: int = 64, layers: int = 2, heads: int = 4,
@@ -83,12 +90,17 @@ def init_params(cfg: OPTConfig, key, dtype=jnp.float32) -> dict:
         return (jax.random.normal(next(k_iter), shape) * scale).astype(dtype)
 
     h, f = cfg.hidden_size, cfg.ffn_dim
-    params["model.decoder.embed_tokens.weight"] = randn((cfg.vocab_size, h))
+    e = cfg.embed_dim
+    params["model.decoder.embed_tokens.weight"] = randn((cfg.vocab_size, e))
     params["model.decoder.embed_positions.weight"] = randn(
         (cfg.max_position_embeddings + 2, h)
     )
-    params["model.decoder.final_layer_norm.weight"] = jnp.ones((h,), dtype)
-    params["model.decoder.final_layer_norm.bias"] = jnp.zeros((h,), dtype)
+    if e != h:
+        params["model.decoder.project_in.weight"] = randn((h, e))
+        params["model.decoder.project_out.weight"] = randn((e, h))
+    if cfg.do_layer_norm_before:
+        params["model.decoder.final_layer_norm.weight"] = jnp.ones((h,), dtype)
+        params["model.decoder.final_layer_norm.bias"] = jnp.zeros((h,), dtype)
     for i in range(cfg.num_hidden_layers):
         p = layer_prefix(i)
         for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
@@ -174,6 +186,8 @@ def forward(
     b, s = input_ids.shape
     embed = params["model.decoder.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
+    if params.get("model.decoder.project_in.weight") is not None:  # OPT-350m
+        h = jnp.matmul(h, params["model.decoder.project_in.weight"].T)
     positions = jnp.arange(s) + 2  # OPTLearnedPositionalEmbedding offset
     h = h + jnp.take(params["model.decoder.embed_positions.weight"], positions, axis=0)
 
@@ -182,7 +196,10 @@ def forward(
         qcfg = layer_qcfgs[i] if layer_qcfgs is not None else None
         h = decoder_layer(h, params, cfg, i, qcfg, mask, tap=tap)
 
-    h = layer_norm(h, _mod(params, "model.decoder.final_layer_norm"))
+    if params.get("model.decoder.final_layer_norm.weight") is not None:
+        h = layer_norm(h, _mod(params, "model.decoder.final_layer_norm"))
+    if params.get("model.decoder.project_out.weight") is not None:
+        h = jnp.matmul(h, params["model.decoder.project_out.weight"].T)
     if tap is not None:
         tap("lm_head", h)
     lm_head = params.get("lm_head.weight", embed)

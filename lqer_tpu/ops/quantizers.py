@@ -39,7 +39,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .blocking import block_axes, per_block_absmax, unblock
+from .blocking import per_block_absmax, unblock
 
 _ZERO_ATOL = 1e-8  # torch.isclose(x, 0) default: |x| <= atol + rtol*0 = 1e-8
 
@@ -226,19 +226,34 @@ def get_quantizer(name: str) -> Callable:
         raise ValueError(f"quantizer {name!r} not supported") from None
 
 
+_QUANTIZER_CACHE: dict = {}
+
+
 def make_quantizer(config: dict | None) -> Callable:
     """Build a 1-arg quantizer from a config dict ``{"name": ..., **params}``.
 
     Functional replacement for the reference's
     ``partial(get_quantizer(cfg.pop("name")), **cfg)`` idiom
     (`quantized_layers/linear.py:89-106`).
+
+    Identical configs return the SAME memoized, jitted callable — so the
+    dozens of per-layer quantizer invocations (PTQ prep, calibration, eval)
+    share one compilation per distinct (config, shape) instead of
+    re-tracing per layer (at 1-4 min/compile through this environment's
+    remote-compile relay, that's the difference between seconds and many
+    minutes of model setup).
     """
     if config is None:
         return passthrough_quantizer
     cfg = dict(config)
-    fn = get_quantizer(cfg.pop("name"))
+    name = cfg.pop("name")
+    fn = get_quantizer(name)
     if fn is passthrough_quantizer:
         return passthrough_quantizer
-    # Drop config keys the target quantizer doesn't take (passthrough-style
-    # configs keep unused keys around; mirror the tolerant behaviour).
-    return functools.partial(fn, **cfg)
+
+    key = (name, tuple(sorted((k, repr(v)) for k, v in cfg.items())))
+    cached = _QUANTIZER_CACHE.get(key)
+    if cached is None:
+        cached = jax.jit(functools.partial(fn, **cfg))
+        _QUANTIZER_CACHE[key] = cached
+    return cached

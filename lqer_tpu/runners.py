@@ -136,12 +136,18 @@ def run_profiler(config: dict, project_path: Path) -> dict:
 
     acc = ScaleAccumulator()
 
+    # params as an explicit jit argument: closing over them would embed the
+    # whole model as HLO constants (huge programs; the remote compiler
+    # rejects >~100MB request bodies)
     @jax.jit
-    def profiled(ids):
+    def _profiled(params, ids):
         stats = {}
         logits = models.forward(params, ids, cfg, None,
                                 tap=batch_mean_abs_tap(stats))
         return logits, stats
+
+    def profiled(ids):
+        return _profiled(params, ids)
 
     losses = []
     from .evaluate.perplexity import causal_lm_loss
@@ -232,10 +238,11 @@ def _build_quantized_forward(config: dict, disable_lqer: bool, dtype):
     fused_attn = bool(config.get("evaluate", {}).get("fused_attention", False))
     if fused_attn and cfg.arch in ("llama", "mistral"):
         logger.info("using fused Pallas attention")
-        fwd = jax.jit(lambda ids: models.get_arch_module(cfg).forward(
-            params, ids, cfg, qcfgs, fused_attention=True))
+        jitted = jax.jit(lambda p, ids: models.get_arch_module(cfg).forward(
+            p, ids, cfg, qcfgs, fused_attention=True))
     else:
-        fwd = jax.jit(lambda ids: models.forward(params, ids, cfg, qcfgs))
+        jitted = jax.jit(lambda p, ids: models.forward(p, ids, cfg, qcfgs))
+    fwd = lambda ids: jitted(params, ids)  # noqa: E731
     return cfg, params, qcfgs, fwd
 
 

@@ -182,6 +182,8 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
     max_len = cache["k"].shape[3]
     embed = params["model.decoder.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
+    if params.get("model.decoder.project_in.weight") is not None:  # OPT-350m
+        h = jnp.matmul(h, params["model.decoder.project_in.weight"].T)
     q_abs = _abs_positions(positions, s)
     h = h + jnp.take(
         params["model.decoder.embed_positions.weight"], q_abs + 2, axis=0
@@ -226,7 +228,10 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         if not cfg.do_layer_norm_before:
             h = layer_norm(h, _m(params, f"{p}.final_layer_norm"))
 
-    h = layer_norm(h, opt_mod._mod(params, "model.decoder.final_layer_norm"))
+    if params.get("model.decoder.final_layer_norm.weight") is not None:
+        h = layer_norm(h, opt_mod._mod(params, "model.decoder.final_layer_norm"))
+    if params.get("model.decoder.project_out.weight") is not None:
+        h = jnp.matmul(h, params["model.decoder.project_out.weight"].T)
     lm_head = params.get("lm_head.weight", embed)
     return jnp.matmul(h, lm_head.T), cache
 

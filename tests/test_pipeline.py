@@ -237,3 +237,27 @@ class TestPTQLatch:
         np.testing.assert_array_equal(
             np.asarray(qparams[emb]), np.asarray(params[emb])
         )
+
+
+class TestOPT350mShape:
+    def test_project_in_out_forward_and_decode(self):
+        from lqer_tpu.serving import make_cache, model_step
+
+        cfg = OPTConfig(
+            vocab_size=128, hidden_size=64, ffn_dim=96, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=64,
+            do_layer_norm_before=False, word_embed_proj_dim=32,
+        )
+        params = models.init_params(cfg, jax.random.PRNGKey(9))
+        assert "model.decoder.project_in.weight" in params
+        ids = jnp.asarray([[1, 5, 9, 2]], dtype=jnp.int32)
+        logits = models.forward(params, ids, cfg, None)
+        assert logits.shape == (1, 4, 128)
+
+        # cached decode parity with the full forward (post-LN + projections)
+        cache = make_cache(cfg, 1, 32, dtype=jnp.float32)
+        lg, cache = model_step(params, ids, cache,
+                               jnp.zeros((1,), jnp.int32), cfg, None)
+        np.testing.assert_allclose(
+            np.asarray(lg[0, -1]), np.asarray(logits[0, -1]), atol=1e-5
+        )

@@ -20,10 +20,10 @@ from ..models.fp_config import FP_LAYER_LLAMA, FP_LAYER_OPT
 from .kv_cache import init_kv_cache, update_layer_cache
 
 
-def _lin(x, params, prefix, qc, backend, interpret=False):
+def _lin(x, params, prefix, qc, backend, interpret=None):
     """Quantized linear: Pallas fused kernel when a serving backend holds a
     packed prep for this module, else the software emulation."""
-    if backend is not None and prefix in backend:
+    if backend is not None and prefix in backend.get("meta", {}):
         from .pallas_backend import serving_linear
 
         return serving_linear(x, prefix, backend, qc, interpret=interpret)
@@ -90,7 +90,7 @@ def model_step(
     cfg,
     layer_qcfgs: list | None = None,
     backend: dict | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
     valid_lengths: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Run s tokens through the model updating the cache; returns
@@ -118,7 +118,7 @@ def _kv_valid_mask(valid_lengths, s):
 
 
 def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
-                backend=None, interpret=False, valid_lengths=None):
+                backend=None, interpret=None, valid_lengths=None):
 
     b, s = input_ids.shape
     max_len = cache["k"].shape[3]
@@ -176,7 +176,7 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
 
 
 def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
-              backend=None, interpret=False, valid_lengths=None):
+              backend=None, interpret=None, valid_lengths=None):
 
     b, s = input_ids.shape
     max_len = cache["k"].shape[3]

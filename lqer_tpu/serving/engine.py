@@ -60,7 +60,11 @@ class DecodeEngine:
         max_len: int = 512,
         cache_dtype=jnp.bfloat16,
         rng_seed: int = 0,
+        pallas_backend: dict | None = None,
     ):
+        """``pallas_backend``: packed kernel operands from
+        `serving.pallas_backend.prepare_serving_params` — routes every linear
+        through the fused W4A8 kernel instead of the software emulation."""
         self.params = params
         self.cfg = cfg
         self.qcfgs = layer_qcfgs
@@ -70,18 +74,29 @@ class DecodeEngine:
         self.lengths = np.zeros(num_slots, dtype=np.int32)  # tokens in cache
         self.slot_req: list[Request | None] = [None] * num_slots
         self.key = jax.random.PRNGKey(rng_seed)
+        backend = pallas_backend
+        # only the packed arrays are traced jit arguments; tile sizes/formats
+        # stay static via this closure
+        b_arrays = None if backend is None else backend["arrays"]
+        b_meta = None if backend is None else backend["meta"]
+
+        def _mk_backend(arrs):
+            return None if arrs is None else {"arrays": arrs, "meta": b_meta}
 
         @jax.jit
-        def decode_step(params, cache, tokens, positions):
+        def decode_step(params, backend_arrays, cache, tokens, positions):
             logits, cache = model_step(
-                params, tokens[:, None], cache, positions, cfg, layer_qcfgs
+                params, tokens[:, None], cache, positions, cfg, layer_qcfgs,
+                backend=_mk_backend(backend_arrays),
             )
             return logits[:, 0, :], cache
 
-        self._decode_step = decode_step
+        self._decode_step = lambda p, c, t, pos: decode_step(
+            p, b_arrays, c, t, pos)
 
         @functools.partial(jax.jit, static_argnames=("pad_len",))
-        def prefill(params, cache, ids, slot, length, pad_len):
+        def _prefill_impl(params, backend_arrays, cache, ids, slot, length,
+                          pad_len):
             # ids: (1, pad_len) right-padded prompt for one slot
             del pad_len
             positions = jnp.zeros((1,), jnp.int32)
@@ -98,6 +113,7 @@ class DecodeEngine:
             }
             logits, one_cache = model_step(
                 params, ids, one_cache, positions, cfg, layer_qcfgs,
+                backend=_mk_backend(backend_arrays),
                 valid_lengths=jnp.reshape(length, (1,)).astype(jnp.int32),
             )
             cache = {
@@ -111,7 +127,8 @@ class DecodeEngine:
             last = logits[0, length - 1, :]
             return last, cache
 
-        self._prefill = prefill
+        self._prefill = lambda p, c, ids, slot, ln, pad_len: _prefill_impl(
+            p, b_arrays, c, ids, slot, ln, pad_len)
 
     # ------------------------------------------------------------------
     def _sample(self, logits: jnp.ndarray, temperature: float) -> int:

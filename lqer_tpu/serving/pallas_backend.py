@@ -48,7 +48,8 @@ def prepare_serving_params(
     b_quantizer (the PTQ latch, `linear.py:50-59`); A/B come from the
     approximator already quantized.
     """
-    backend = {}
+    arrays: dict = {}
+    meta: dict = {}
     for i in range(cfg.num_hidden_layers):
         for prefix, proj in models.quantizable_module_prefixes(cfg, i):
             w = params[prefix + ".weight"]
@@ -69,10 +70,18 @@ def prepare_serving_params(
                 fmt=MXINT4,
                 tile_k=tile_k,
             )
-            prep["tile_n"] = _pick_tile_n(w.shape[0])
-            backend[prefix] = prep
-    logger.info("packed %d linears for the Pallas backend", len(backend))
-    return backend
+            # split traced arrays from static metadata so the whole backend
+            # can be passed as a jit argument (tile sizes must stay static)
+            arrays[prefix] = {
+                k: prep[k] for k in ("packed", "exps", "a", "b", "bias")
+            }
+            meta[prefix] = {
+                "tile_k": tile_k,
+                "tile_n": _pick_tile_n(w.shape[0]),
+                "fmt": MXINT4,
+            }
+    logger.info("packed %d linears for the Pallas backend", len(meta))
+    return {"arrays": arrays, "meta": meta}
 
 
 def serving_linear(
@@ -81,11 +90,13 @@ def serving_linear(
     backend: dict,
     qc,
     *,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Quantize activations (exact-in-bf16 MXINT8 emulation) then run the
-    fused kernel."""
-    prep = backend[prefix]
+    fused kernel. ``backend`` = {"arrays": {...}, "meta": {...}} from
+    :func:`prepare_serving_params` (arrays may arrive traced)."""
+    prep = dict(backend["arrays"][prefix])
+    prep.update(backend["meta"][prefix])
     b, s, k = x.shape
     x_q = qc.x_quantizer(x).astype(jnp.bfloat16).reshape(b * s, k)
     y = qlinear_w4_fused(

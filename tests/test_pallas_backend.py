@@ -61,7 +61,7 @@ def test_pallas_step_matches_emulation():
     # serving prep packs from the ORIGINAL weights (bit-exact re-derivation
     # of W_q); the emulated reference path uses the PTQ'd params
     backend = prepare_serving_params(params, cfg, qcfgs)
-    assert len(backend) == 7
+    assert len(backend["meta"]) == 7
     params = models.prepare_ptq(params, cfg, qcfgs)
 
     ids = jnp.asarray([[3, 17, 42, 9]], dtype=jnp.int32)
@@ -83,3 +83,27 @@ def test_pallas_step_matches_emulation():
     np.testing.assert_array_equal(
         np.argmax(out, axis=-1), np.argmax(ref, axis=-1)
     )
+
+
+def test_engine_with_pallas_backend():
+    """DecodeEngine routed through the fused kernel must emit the same
+    tokens as the emulated engine (kernel-aligned dims, interpret on CPU)."""
+    from lqer_tpu.serving import DecodeEngine, Request
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=256, layers=1, heads=4,
+                           kv_heads=2, inter=256, max_pos=64)
+    params = models.init_params(cfg, jax.random.PRNGKey(3))
+    qcfgs = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
+    backend = prepare_serving_params(params, cfg, qcfgs)
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    def run(pb):
+        eng = DecodeEngine(params, cfg, qcfgs, num_slots=1, max_len=64,
+                           cache_dtype=jnp.float32, pallas_backend=pb)
+        req = Request(prompt_ids=[3, 9, 27], max_new_tokens=3)
+        eng.run([req])
+        return req.output_ids
+
+    emulated = run(None)
+    fused = run(backend)
+    assert fused == emulated, (fused, emulated)

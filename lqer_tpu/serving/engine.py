@@ -84,15 +84,27 @@ class DecodeEngine:
             return None if arrs is None else {"arrays": arrs, "meta": b_meta}
 
         @jax.jit
-        def decode_step(params, backend_arrays, cache, tokens, positions):
+        def decode_step(params, backend_arrays, cache, tokens, positions,
+                        key, temps):
             logits, cache = model_step(
                 params, tokens[:, None], cache, positions, cfg, layer_qcfgs,
                 backend=_mk_backend(backend_arrays),
             )
-            return logits[:, 0, :], cache
+            logits = logits[:, 0, :]
+            # sample on device for every slot in one pass (greedy + per-slot
+            # temperature), so the host does ONE transfer per step instead of
+            # a sync per slot
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            keys = jax.random.split(key, logits.shape[0])
+            sampled = jax.vmap(
+                lambda k, lg, t: jax.random.categorical(
+                    k, lg / jnp.maximum(t, 1e-6))
+            )(keys, logits, temps).astype(jnp.int32)
+            tokens_out = jnp.where(temps > 0.0, sampled, greedy)
+            return tokens_out, cache
 
-        self._decode_step = lambda p, c, t, pos: decode_step(
-            p, b_arrays, c, t, pos)
+        self._decode_step = lambda p, c, t, pos, key, temps: decode_step(
+            p, b_arrays, c, t, pos, key, temps)
 
         @functools.partial(jax.jit, static_argnames=("pad_len",))
         def _prefill_impl(params, backend_arrays, cache, ids, slot, length,
@@ -179,15 +191,20 @@ class DecodeEngine:
                 continue
             tokens = jnp.asarray(pending_token)
             positions = jnp.asarray(self.lengths)
-            logits, self.cache = self._decode_step(
-                self.params, self.cache, tokens, positions
+            temps = jnp.asarray(
+                [self.slot_req[s].temperature if self.slot_req[s] else 0.0
+                 for s in range(self.num_slots)], jnp.float32)
+            self.key, sub = jax.random.split(self.key)
+            tokens_out, self.cache = self._decode_step(
+                self.params, self.cache, tokens, positions, sub, temps
             )
+            toks = np.asarray(tokens_out)  # single host transfer per step
             self.lengths += active.astype(np.int32)
             for s in range(self.num_slots):
                 if not active[s]:
                     continue
                 req = self.slot_req[s]
-                tok = self._sample(logits[s], req.temperature)
+                tok = int(toks[s])
                 req.output_ids.append(tok)
                 hit_eos = req.eos_token_id is not None and tok == req.eos_token_id
                 if hit_eos or len(req.output_ids) >= req.max_new_tokens \

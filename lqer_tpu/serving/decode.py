@@ -241,3 +241,140 @@ def make_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
     return init_kv_cache(
         cfg.num_hidden_layers, batch, kv_heads, cfg.head_dim, max_len, dtype
     )
+
+
+# ---------------------------------------------------------------------------
+# lax.scan decode step (compile-time scaling for deep models)
+# ---------------------------------------------------------------------------
+LLAMA_REL_KEYS = (
+    "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+    "self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj",
+)
+
+
+def stack_backend(backend: dict, cfg) -> dict | None:
+    """Prefix-keyed Pallas backend → rel-keyed stacked arrays (L, ...) for the
+    scan body, with layer-0 metadata (uniform layers required)."""
+    if backend is None:
+        return None
+    import jax.numpy as _jnp
+
+    arrays = {}
+    meta = {}
+    for rel in LLAMA_REL_KEYS:
+        per_layer = []
+        for i in range(cfg.num_hidden_layers):
+            prefix = f"{llama_mod.layer_prefix(i)}.{rel}"
+            per_layer.append(backend["arrays"][prefix])
+        arrays[rel] = {
+            k: (None if per_layer[0][k] is None
+                else _jnp.stack([p[k] for p in per_layer]))
+            for k in per_layer[0]
+        }
+        meta[rel] = backend["meta"][f"{llama_mod.layer_prefix(0)}.{rel}"]
+    return {"arrays": arrays, "meta": meta}
+
+
+def _lin_slice(x, sl, rel, qc, backend_meta, backend_slice):
+    """Linear inside the scan body: Pallas kernel when a backend slice is
+    present, else emulated qlinear on the stacked-param slice."""
+    if backend_slice is not None:
+        from .pallas_backend import serving_linear
+
+        one = {"arrays": {rel: backend_slice[rel]}, "meta": {rel: backend_meta[rel]}}
+        return serving_linear(x, rel, one, qc)
+    from ..ops.qlinear import qlinear
+
+    m = {k: sl.get(f"{rel}.{k}") for k in ("weight", "bias", "A", "B")}
+    return qlinear(x, m, qc)
+
+
+def llama_step_scan(
+    params: dict,
+    input_ids: jnp.ndarray,
+    cache: dict,
+    positions: jnp.ndarray,
+    cfg,
+    layer_qcfg: dict | None,
+    stacked: dict | None = None,
+    rest: dict | None = None,
+    backend_stacked: dict | None = None,
+    valid_lengths: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """`model_step` for Llama with the layer loop as lax.scan: ONE trace of
+    the decoder layer regardless of depth (the 4-layer engine warmup already
+    costs minutes of compile through this environment's relay; 32-80 layer
+    models need this). The KV cache threads through scan as xs→ys: each step
+    consumes its layer's cache slice and emits the updated slice.
+
+    Requires a UNIFORM per-layer quantizer config (`layer_qcfg` applied to
+    all layers); heterogeneous configs use the unrolled `model_step`.
+    """
+    from ..models.fp_config import FP_LAYER_LLAMA
+
+    if stacked is None or rest is None:
+        stacked, rest = llama_mod.stack_layer_params(params, cfg)
+    q = layer_qcfg if layer_qcfg is not None else FP_LAYER_LLAMA
+    attn_cfg = q["attn"]
+
+    b, s = input_ids.shape
+    max_len = cache["k"].shape[3]
+    embed = rest["model.embed_tokens.weight"]
+    h = jnp.take(embed, input_ids, axis=0)
+    q_abs = _abs_positions(positions, s)
+    mask = _cache_mask(q_abs, max_len, h.dtype)
+    kv_valid = _kv_valid_mask(valid_lengths, s)
+    cos, sin = llama_mod.rotary_tables(
+        cfg.head_dim, max(max_len, cfg.max_position_embeddings), cfg.rope_theta
+    )
+    n_rep = cfg.num_attention_heads // cfg.kv_heads
+    b_meta = None if backend_stacked is None else backend_stacked["meta"]
+
+    def rel_mod(sl, rel):
+        return {k: sl.get(f"{rel}.{k}") for k in ("weight", "bias", "A", "B")}
+
+    def body(h, xs):
+        sl, k_cache_l, v_cache_l, bsl = xs
+        residual = h
+        hn = rms_norm(h, rel_mod(sl, "input_layernorm"), cfg.rms_norm_eps)
+        qh = _heads(_lin_slice(hn, sl, "self_attn.q_proj", attn_cfg.q_proj,
+                               b_meta, bsl), cfg.num_attention_heads)
+        kh = _heads(_lin_slice(hn, sl, "self_attn.k_proj", attn_cfg.k_proj,
+                               b_meta, bsl), cfg.kv_heads)
+        vh = _heads(_lin_slice(hn, sl, "self_attn.v_proj", attn_cfg.v_proj,
+                               b_meta, bsl), cfg.kv_heads)
+        qh, kh = llama_mod.apply_rotary(qh, kh, cos, sin, q_abs)
+        if kv_valid is not None:
+            kh = kh * kv_valid[:, None, :, None]
+            vh = vh * kv_valid[:, None, :, None]
+
+        def upd(c, n, p):
+            return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, p, 0))
+
+        k_l = jax.vmap(upd)(k_cache_l, kh, positions)
+        v_l = jax.vmap(upd)(v_cache_l, vh, positions)
+
+        attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
+                       attn_cfg, cfg.head_dim**-0.5, n_rep, scale_query=False)
+        attn = _lin_slice(merge_heads(attn), sl, "self_attn.o_proj",
+                          attn_cfg.o_proj, b_meta, bsl)
+        h = residual + attn
+
+        residual = h
+        hn = rms_norm(h, rel_mod(sl, "post_attention_layernorm"),
+                      cfg.rms_norm_eps)
+        gate = _lin_slice(hn, sl, "mlp.gate_proj", q["gate_proj"], b_meta, bsl)
+        up = _lin_slice(hn, sl, "mlp.up_proj", q["up_proj"], b_meta, bsl)
+        h = residual + _lin_slice(jax.nn.silu(gate) * up, sl,
+                                  "mlp.down_proj", q["down_proj"], b_meta, bsl)
+        return h, (k_l, v_l)
+
+    b_arrays = None if backend_stacked is None else backend_stacked["arrays"]
+    xs = (stacked, cache["k"], cache["v"], b_arrays)
+    h, (k_new, v_new) = jax.lax.scan(body, h, xs)
+    cache = {"k": k_new, "v": v_new}
+
+    h = rms_norm(h, {"weight": rest["model.norm.weight"],
+                     "bias": rest.get("model.norm.bias")}, cfg.rms_norm_eps)
+    lm_head = rest.get("lm_head.weight", embed)
+    return jnp.matmul(h, lm_head.T), cache

@@ -61,10 +61,15 @@ class DecodeEngine:
         cache_dtype=jnp.bfloat16,
         rng_seed: int = 0,
         pallas_backend: dict | None = None,
+        scan_layers: bool = False,
     ):
         """``pallas_backend``: packed kernel operands from
         `serving.pallas_backend.prepare_serving_params` — routes every linear
-        through the fused W4A8 kernel instead of the software emulation."""
+        through the fused W4A8 kernel instead of the software emulation.
+
+        ``scan_layers``: lax.scan layer loop (Llama/Mistral with a uniform
+        per-layer config) — decoder compile time becomes depth-independent,
+        which matters at 32-80 layers through a slow compiler path."""
         self.params = params
         self.cfg = cfg
         self.qcfgs = layer_qcfgs
@@ -75,6 +80,17 @@ class DecodeEngine:
         self.slot_req: list[Request | None] = [None] * num_slots
         self.key = jax.random.PRNGKey(rng_seed)
         backend = pallas_backend
+        self._scan = scan_layers
+        if scan_layers:
+            assert cfg.arch in ("llama", "mistral"), cfg.arch
+            from ..models.llama import stack_layer_params
+            from .decode import llama_step_scan, stack_backend
+
+            self._stacked, self._rest = stack_layer_params(params, cfg)
+            bs = stack_backend(backend, cfg)
+            self._bs_meta = None if bs is None else bs["meta"]
+            self._bs_arrays = None if bs is None else bs["arrays"]
+            layer_qcfg0 = None if layer_qcfgs is None else layer_qcfgs[0]
         # only the packed arrays are traced jit arguments; tile sizes/formats
         # stay static via this closure
         b_arrays = None if backend is None else backend["arrays"]
@@ -83,12 +99,33 @@ class DecodeEngine:
         def _mk_backend(arrs):
             return None if arrs is None else {"arrays": arrs, "meta": b_meta}
 
+        def _mk_bs(arrs):
+            return (None if arrs is None
+                    else {"arrays": arrs, "meta": self._bs_meta})
+
+        def _step_math(params_or_stack, backend_arrays, cache, ids, positions,
+                       valid_lengths=None):
+            if scan_layers:
+                stacked, rest = params_or_stack
+                from .decode import llama_step_scan
+
+                return llama_step_scan(
+                    {}, ids, cache, positions, cfg, layer_qcfg0,
+                    stacked=stacked, rest=rest,
+                    backend_stacked=_mk_bs(backend_arrays),
+                    valid_lengths=valid_lengths,
+                )
+            return model_step(
+                params_or_stack, ids, cache, positions, cfg, layer_qcfgs,
+                backend=_mk_backend(backend_arrays),
+                valid_lengths=valid_lengths,
+            )
+
         @jax.jit
         def decode_step(params, backend_arrays, cache, tokens, positions,
                         key, temps):
-            logits, cache = model_step(
-                params, tokens[:, None], cache, positions, cfg, layer_qcfgs,
-                backend=_mk_backend(backend_arrays),
+            logits, cache = _step_math(
+                params, backend_arrays, cache, tokens[:, None], positions
             )
             logits = logits[:, 0, :]
             # sample on device for every slot in one pass (greedy + per-slot
@@ -103,8 +140,14 @@ class DecodeEngine:
             tokens_out = jnp.where(temps > 0.0, sampled, greedy)
             return tokens_out, cache
 
+        if scan_layers:
+            feed = (self._stacked, self._rest)
+            feed_b = self._bs_arrays
+        else:
+            feed = params
+            feed_b = b_arrays
         self._decode_step = lambda p, c, t, pos, key, temps: decode_step(
-            p, b_arrays, c, t, pos, key, temps)
+            feed, feed_b, c, t, pos, key, temps)
 
         @functools.partial(jax.jit, static_argnames=("pad_len",))
         def _prefill_impl(params, backend_arrays, cache, ids, slot, length,
@@ -123,9 +166,8 @@ class DecodeEngine:
                     jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1)
                 ),
             }
-            logits, one_cache = model_step(
-                params, ids, one_cache, positions, cfg, layer_qcfgs,
-                backend=_mk_backend(backend_arrays),
+            logits, one_cache = _step_math(
+                params, backend_arrays, one_cache, ids, positions,
                 valid_lengths=jnp.reshape(length, (1,)).astype(jnp.int32),
             )
             cache = {
@@ -140,7 +182,7 @@ class DecodeEngine:
             return last, cache
 
         self._prefill = lambda p, c, ids, slot, ln, pad_len: _prefill_impl(
-            p, b_arrays, c, ids, slot, ln, pad_len)
+            feed, feed_b, c, ids, slot, ln, pad_len)
 
     # ------------------------------------------------------------------
     def _sample(self, logits: jnp.ndarray, temperature: float) -> int:

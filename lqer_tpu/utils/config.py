@@ -130,7 +130,10 @@ def override_args(config: dict, unknown_args: list[str]) -> tuple[dict, dict]:
         if value.startswith(":ast:"):
             value = ast.literal_eval(value.removeprefix(":ast:"))
         else:
-            current = get_dict_value(config, key_list)
+            try:
+                current = get_dict_value(config, key_list)
+            except KeyError:
+                current = None  # new key (e.g. --checkpoint_path=...): string
             caster = type(current)
             if isinstance(current, bool):
                 value = value.lower() in ("1", "true", "yes")

@@ -1,0 +1,72 @@
+"""Scan-based decode step vs the unrolled decode: identical tokens in the
+engine, for both the emulated and Pallas-backend paths."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lqer_tpu import models
+from lqer_tpu.models import LlamaConfig
+from lqer_tpu.serving import DecodeEngine, Request
+from lqer_tpu.serving.pallas_backend import prepare_serving_params
+
+
+def _q(width, block, skip):
+    return {
+        "name": "block_fp", "width": width, "exponent_width": 8,
+        "exponent_bias": None, "block_size": block, "skip_first_dim": skip,
+    }
+
+
+Q_CONFIG = {
+    "linear": {
+        "name": "flexible_lqer", "is_ptq": True,
+        "x_quantizer": _q(8, [1, 16], True),
+        "w_quantizer": _q(4, [1, 16], False),
+        "b_quantizer": _q(8, [1, 16], False),
+    },
+    "matmul": {"name": "flexible", "x_quantizer": _q(8, [1, 16], True),
+               "w_quantizer": _q(8, [1, 16], True)},
+}
+L_CONFIG = {"linear": {"rank": 8}}
+
+
+def _run_engine(params, cfg, qcfgs, backend, scan):
+    eng = DecodeEngine(params, cfg, qcfgs, num_slots=2, max_len=64,
+                       cache_dtype=jnp.float32, pallas_backend=backend,
+                       scan_layers=scan)
+    reqs = [Request(prompt_ids=[3, 9, 27], max_new_tokens=4),
+            Request(prompt_ids=[5, 6], max_new_tokens=3)]
+    eng.run(reqs)
+    return [r.output_ids for r in reqs]
+
+
+def test_scan_decode_matches_unrolled_emulated():
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=3, heads=4,
+                           kv_heads=2, inter=96)
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    qcfgs = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
+    params = models.prepare_ptq(params, cfg, qcfgs)
+    for i in range(cfg.num_hidden_layers):
+        for prefix, _ in models.quantizable_module_prefixes(cfg, i):
+            od, idim = params[prefix + ".weight"].shape
+            params[prefix + ".A"] = jnp.zeros((idim, 8))
+            params[prefix + ".B"] = jax.random.normal(
+                jax.random.PRNGKey(i), (8, od)) * 0.01
+
+    unrolled = _run_engine(params, cfg, qcfgs, None, scan=False)
+    scanned = _run_engine(params, cfg, qcfgs, None, scan=True)
+    assert scanned == unrolled, (scanned, unrolled)
+
+
+def test_scan_decode_matches_unrolled_pallas():
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=256, layers=2, heads=4,
+                           kv_heads=2, inter=256, max_pos=64)
+    params = models.init_params(cfg, jax.random.PRNGKey(1))
+    qcfgs = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
+    backend = prepare_serving_params(params, cfg, qcfgs)
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    unrolled = _run_engine(params, cfg, qcfgs, backend, scan=False)
+    scanned = _run_engine(params, cfg, qcfgs, backend, scan=True)
+    assert scanned == unrolled, (scanned, unrolled)

@@ -165,3 +165,39 @@ __all__ = [
     "init_params",
     "quantizable_module_prefixes",
 ]
+
+
+def forward_sequence_classification(
+    params,
+    input_ids,
+    cfg,
+    layer_qcfgs=None,
+    pad_token_id: int | None = None,
+):
+    """Sequence classification over the quantized decoder (the reference's
+    `*ForSequenceClassification` dispatch targets, `models/__init__.py:21-33`).
+
+    HF semantics: a bias-free ``score`` head over the hidden state of the
+    LAST non-pad token per sequence (`transformers`
+    `LlamaForSequenceClassification`/`OPTForSequenceClassification`).
+    ``params["score.weight"]`` holds (num_labels, hidden).
+    """
+    import jax.numpy as _jnp
+
+    h = get_arch_module(cfg).forward(
+        params, input_ids, cfg, layer_qcfgs, return_hidden=True
+    )
+    logits = _jnp.matmul(h, params["score.weight"].T)  # (b, s, labels)
+    pad = pad_token_id if pad_token_id is not None else getattr(
+        cfg, "pad_token_id", None)
+    if pad is None:
+        last = _jnp.full((input_ids.shape[0],), input_ids.shape[1] - 1)
+    else:
+        is_real = (input_ids != pad).astype(_jnp.int32)
+        # index of the last non-pad token (HF: first pad position - 1)
+        last = _jnp.maximum(
+            _jnp.sum(is_real, axis=-1) - 1, 0
+        )
+    return _jnp.take_along_axis(
+        logits, last[:, None, None].astype(_jnp.int32), axis=1
+    )[:, 0, :]

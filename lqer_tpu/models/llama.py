@@ -201,6 +201,7 @@ def forward(
     layer_qcfgs: list[dict] | None = None,
     tap=None,
     fused_attention: bool = False,
+    return_hidden: bool = False,
 ) -> jnp.ndarray:
     b, s = input_ids.shape
     embed = params["model.embed_tokens.weight"]
@@ -229,6 +230,8 @@ def forward(
                           tap=tap, fused_attention=fused_attention)
 
     h = rms_norm(h, _mod(params, "model.norm"), cfg.rms_norm_eps)
+    if return_hidden:
+        return h
     if tap is not None:
         tap("lm_head", h)
     lm_head = params.get("lm_head.weight", embed)

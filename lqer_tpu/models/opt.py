@@ -181,6 +181,7 @@ def forward(
     cfg: OPTConfig,
     layer_qcfgs: list[dict] | None = None,
     tap=None,
+    return_hidden: bool = False,
 ) -> jnp.ndarray:
     """Full-causal-LM forward returning logits (b, s, vocab)."""
     b, s = input_ids.shape
@@ -200,6 +201,8 @@ def forward(
         h = layer_norm(h, _mod(params, "model.decoder.final_layer_norm"))
     if params.get("model.decoder.project_out.weight") is not None:
         h = jnp.matmul(h, params["model.decoder.project_out.weight"].T)
+    if return_hidden:
+        return h
     if tap is not None:
         tap("lm_head", h)
     lm_head = params.get("lm_head.weight", embed)

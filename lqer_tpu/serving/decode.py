@@ -17,7 +17,13 @@ from ..models import llama as llama_mod
 from ..models import opt as opt_mod
 from ..models.common import layer_norm, merge_heads, repeat_kv, rms_norm
 from ..models.fp_config import FP_LAYER_LLAMA, FP_LAYER_OPT
-from .kv_cache import init_kv_cache, update_layer_cache
+from .kv_cache import (
+    init_kv_cache,
+    init_quantized_kv_cache,
+    is_quantized_cache,
+    update_layer_cache,
+    update_layer_cache_quantized,
+)
 
 
 def _lin(x, params, prefix, qc, backend, interpret=None):
@@ -121,7 +127,7 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
                 backend=None, interpret=None, valid_lengths=None):
 
     b, s = input_ids.shape
-    max_len = cache["k"].shape[3]
+    max_len = (cache["k_codes"] if is_quantized_cache(cache) else cache["k"]).shape[3]
     embed = params["model.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
 
@@ -152,7 +158,7 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         if kv_valid is not None:
             kh = kh * kv_valid[:, None, :, None]
             vh = vh * kv_valid[:, None, :, None]
-        cache, k_l, v_l = update_layer_cache(cache, i, kh, vh, positions)
+        cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
         attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
                        attn_cfg, cfg.head_dim**-0.5, n_rep, scale_query=False)
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.o_proj",
@@ -179,7 +185,7 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
               backend=None, interpret=None, valid_lengths=None):
 
     b, s = input_ids.shape
-    max_len = cache["k"].shape[3]
+    max_len = (cache["k_codes"] if is_quantized_cache(cache) else cache["k"]).shape[3]
     embed = params["model.decoder.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     if params.get("model.decoder.project_in.weight") is not None:  # OPT-350m
@@ -209,7 +215,7 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         if kv_valid is not None:
             kh = kh * kv_valid[:, None, :, None]
             vh = vh * kv_valid[:, None, :, None]
-        cache, k_l, v_l = update_layer_cache(cache, i, kh, vh, positions)
+        cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
         attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
                        attn_cfg, cfg.head_dim**-0.5, n_rep=1, scale_query=True)
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.out_proj",
@@ -237,10 +243,23 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
 
 
 def make_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+    """``dtype="mxint8"`` selects the quantized cache (8.5 bits/value)."""
     kv_heads = cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.num_attention_heads
+    if dtype == "mxint8":
+        return init_quantized_kv_cache(
+            cfg.num_hidden_layers, batch, kv_heads, cfg.head_dim, max_len
+        )
     return init_kv_cache(
         cfg.num_hidden_layers, batch, kv_heads, cfg.head_dim, max_len, dtype
     )
+
+
+def _cache_update(cache, layer, kh, vh, positions, compute_dtype):
+    if is_quantized_cache(cache):
+        return update_layer_cache_quantized(
+            cache, layer, kh, vh, positions, compute_dtype
+        )
+    return update_layer_cache(cache, layer, kh, vh, positions)
 
 
 # ---------------------------------------------------------------------------

@@ -147,3 +147,45 @@ def test_engine_eos_stops():
     req = Request(prompt_ids=[1, 2], max_new_tokens=10, eos_token_id=first)
     engine.run([req])
     assert req.done and req.output_ids == [first]
+
+
+def test_quantized_kv_cache_decode():
+    """MXINT8 KV cache: greedy decode must track the fp32-cache trajectory
+    (V round-trips exactly; K picks up one 8-bit quantization — tokens should
+    agree within near-tie tolerance on this tiny model)."""
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
+                           kv_heads=2, inter=96)
+    params = models.init_params(cfg, jax.random.PRNGKey(7))
+    prompt = [3, 17, 42]
+
+    def decode(cache_dtype):
+        cache = make_cache(cfg, 1, 64, dtype=cache_dtype)
+        lg, cache = model_step(params, jnp.asarray([prompt], jnp.int32),
+                               cache, jnp.zeros((1,), jnp.int32), cfg, None)
+        tok = int(jnp.argmax(lg[0, -1]))
+        out = [tok]
+        pos = len(prompt)
+        for _ in range(4):
+            lg, cache = model_step(params, jnp.asarray([[tok]], jnp.int32),
+                                   cache, jnp.asarray([pos], jnp.int32),
+                                   cfg, None)
+            tok = int(jnp.argmax(lg[0, -1]))
+            out.append(tok)
+            pos += 1
+        return out
+
+    fp = decode(jnp.float32)
+    q8 = decode("mxint8")
+    # FP model + 8-bit KV: trajectories should agree on a tiny random model
+    # (logit gaps dwarf the 8-bit cache noise at these scales)
+    assert q8 == fp, (q8, fp)
+
+
+def test_quantized_cache_memory_layout():
+    from lqer_tpu.serving.kv_cache import init_quantized_kv_cache
+
+    c = init_quantized_kv_cache(2, 1, 4, 64, 32)
+    assert c["k_codes"].shape == (2, 1, 4, 32, 64)
+    assert c["k_exps"].shape == (2, 1, 4, 32, 4)
+    bits_per_value = 8 * (c["k_codes"].size + c["k_exps"].size) / c["k_codes"].size
+    assert abs(bits_per_value - 8.5) < 0.01

@@ -33,12 +33,16 @@ class JaxCausalLM(LM):
     lm-eval model."""
 
     def __init__(self, forward_fn: Callable, tokenizer, max_length: int = 2048,
-                 batch_size: int = 1):
+                 batch_size: int = 1, engine=None):
+        """``engine``: optional `lqer_tpu.serving.DecodeEngine` — when given,
+        `generate_until` decodes incrementally through the KV-cache engine
+        instead of re-running the full forward per token."""
         super().__init__()
         self.forward_fn = forward_fn
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.batch_size = batch_size
+        self.engine = engine
 
     # -- helpers -----------------------------------------------------------
     def _loglikelihood_tokens(self, context: list[int], continuation: list[int]):
@@ -92,6 +96,19 @@ class JaxCausalLM(LM):
             until = gen_kwargs.get("until", [])
             max_gen = gen_kwargs.get("max_gen_toks", 128)
             ids = self.tokenizer.encode(context)
+            if self.engine is not None:
+                from ..serving import Request as _Req
+
+                r = _Req(prompt_ids=list(ids), max_new_tokens=max_gen,
+                         eos_token_id=self.tokenizer.eos_token_id)
+                self.engine.run([r])
+                generated = list(r.output_ids)
+                text = self.tokenizer.decode(generated)
+                for u in until:
+                    if u in text:
+                        text = text.split(u)[0]
+                out.append(text)
+                continue
             generated = []
             for _ in range(max_gen):
                 window = (ids + generated)[-self.max_length :]

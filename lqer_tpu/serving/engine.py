@@ -157,26 +157,23 @@ class DecodeEngine:
             positions = jnp.zeros((1,), jnp.int32)
             # fresh zeroed 1-slot cache: stale K/V from a previous occupant
             # must not leak into shared-exponent groups (see model_step's
-            # valid_lengths note)
+            # valid_lengths note). Key-generic so both the fp and the
+            # MXINT8-quantized cache layouts work.
             one_cache = {
-                "k": jnp.zeros_like(
-                    jax.lax.dynamic_slice_in_dim(cache["k"], slot, 1, axis=1)
-                ),
-                "v": jnp.zeros_like(
-                    jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1)
-                ),
+                k: jnp.zeros_like(
+                    jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1)
+                )
+                for k, v in cache.items()
             }
             logits, one_cache = _step_math(
                 params, backend_arrays, one_cache, ids, positions,
                 valid_lengths=jnp.reshape(length, (1,)).astype(jnp.int32),
             )
             cache = {
-                "k": jax.lax.dynamic_update_slice_in_dim(
-                    cache["k"], one_cache["k"], slot, axis=1
-                ),
-                "v": jax.lax.dynamic_update_slice_in_dim(
-                    cache["v"], one_cache["v"], slot, axis=1
-                ),
+                k: jax.lax.dynamic_update_slice_in_dim(
+                    cache[k], one_cache[k], slot, axis=1
+                )
+                for k in cache
             }
             last = logits[0, length - 1, :]
             return last, cache

@@ -61,3 +61,34 @@ def test_normalized_logprobs():
     lm = JaxCausalLM(_uniform_forward(), FakeTok(), max_length=64)
     ll, _ = lm._loglikelihood_tokens([1], [2])
     assert ll <= 0.0
+
+
+def test_generate_until_via_engine():
+    """generate_until should use the decode engine when provided."""
+    import jax
+    from lqer_tpu import models
+    from lqer_tpu.models import OPTConfig
+    from lqer_tpu.serving import DecodeEngine
+    import jax.numpy as jnp
+
+    cfg = OPTConfig.tiny(vocab_size=64, hidden=32, layers=1, heads=2, ffn=48)
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    engine = DecodeEngine(params, cfg, None, num_slots=1, max_len=64,
+                          cache_dtype=jnp.float32)
+
+    class Tok(FakeTok):
+        eos_token_id = None
+
+    fwd = lambda ids: models.forward(params, ids, cfg, None)  # noqa: E731
+    lm = JaxCausalLM(fwd, Tok(), max_length=64, engine=engine)
+
+    class Req:
+        args = ("ab", {"until": [], "max_gen_toks": 4})
+
+    out = lm.generate_until([Req()])
+    assert len(out) == 1 and isinstance(out[0], str)
+
+    # engine tokens must equal the full-forward greedy loop
+    lm2 = JaxCausalLM(fwd, Tok(), max_length=64, engine=None)
+    out2 = lm2.generate_until([Req()])
+    assert out == out2, (out, out2)

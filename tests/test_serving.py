@@ -189,3 +189,15 @@ def test_quantized_cache_memory_layout():
     assert c["k_exps"].shape == (2, 1, 4, 32, 4)
     bits_per_value = 8 * (c["k_codes"].size + c["k_exps"].size) / c["k_codes"].size
     assert abs(bits_per_value - 8.5) < 0.01
+
+
+def test_engine_with_quantized_cache():
+    cfg = OPTConfig.tiny(vocab_size=64, hidden=32, layers=1, heads=2, ffn=48)
+    params = models.init_params(cfg, jax.random.PRNGKey(11))
+    engine = DecodeEngine(params, cfg, None, num_slots=2, max_len=64,
+                          cache_dtype="mxint8")
+    reqs = [Request(prompt_ids=[1, 2, 3], max_new_tokens=4),
+            Request(prompt_ids=[9, 8], max_new_tokens=3)]
+    engine.run(reqs)
+    assert all(r.done for r in reqs)
+    assert len(reqs[0].output_ids) == 4 and len(reqs[1].output_ids) == 3

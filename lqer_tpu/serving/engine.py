@@ -83,6 +83,10 @@ class DecodeEngine:
         self._scan = scan_layers
         if scan_layers:
             assert cfg.arch in ("llama", "mistral"), cfg.arch
+            assert cache_dtype != "mxint8", (
+                "scan_layers does not support the quantized KV cache yet "
+                "(the scan threads fp cache slices); use the unrolled step"
+            )
             from ..models.llama import stack_layer_params
             from .decode import llama_step_scan, stack_backend
 

@@ -44,6 +44,23 @@ def _lin(x, params, prefix, qc, backend, interpret=None):
     return qlinear(x, _m, qc)
 
 
+def _lin_group(x, params, layer_prefix, fused_rel, member_rels, qcs,
+               backend, interpret=None):
+    """Projections sharing one input: ONE fused kernel launch when the
+    backend packed the group (`pallas_backend` fuse_projections), else
+    per-member linears."""
+    key = f"{layer_prefix}.{fused_rel}"
+    if backend is not None and key in backend.get("meta", {}):
+        from .pallas_backend import serving_linear_split
+
+        return serving_linear_split(x, key, backend, qcs[0],
+                                    interpret=interpret)
+    return [
+        _lin(x, params, f"{layer_prefix}.{rel}", qc, backend, interpret)
+        for rel, qc in zip(member_rels, qcs)
+    ]
+
+
 def _heads(y, num_heads):
     b, s, _ = y.shape
     return y.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)
@@ -147,12 +164,15 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
 
         residual = h
         hn = rms_norm(h, _m(params, f"{p}.input_layernorm"), cfg.rms_norm_eps)
-        qh = _heads(_lin(hn, params, f"{p}.self_attn.q_proj", attn_cfg.q_proj,
-                         backend, interpret), cfg.num_attention_heads)
-        kh = _heads(_lin(hn, params, f"{p}.self_attn.k_proj", attn_cfg.k_proj,
-                         backend, interpret), cfg.kv_heads)
-        vh = _heads(_lin(hn, params, f"{p}.self_attn.v_proj", attn_cfg.v_proj,
-                         backend, interpret), cfg.kv_heads)
+        qy, ky, vy = _lin_group(
+            hn, params, p, "self_attn.qkv_proj",
+            ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+            (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj),
+            backend, interpret,
+        )
+        qh = _heads(qy, cfg.num_attention_heads)
+        kh = _heads(ky, cfg.kv_heads)
+        vh = _heads(vy, cfg.kv_heads)
         qh, kh = llama_mod.apply_rotary(qh, kh, cos, sin, q_abs)
 
         if kv_valid is not None:
@@ -168,10 +188,12 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         residual = h
         hn = rms_norm(h, _m(params, f"{p}.post_attention_layernorm"),
                       cfg.rms_norm_eps)
-        gate = _lin(hn, params, f"{p}.mlp.gate_proj", q["gate_proj"],
-                    backend, interpret)
-        up = _lin(hn, params, f"{p}.mlp.up_proj", q["up_proj"],
-                  backend, interpret)
+        gate, up = _lin_group(
+            hn, params, p, "mlp.gateup_proj",
+            ("mlp.gate_proj", "mlp.up_proj"),
+            (q["gate_proj"], q["up_proj"]),
+            backend, interpret,
+        )
         h = residual + _lin(jax.nn.silu(gate) * up, params,
                             f"{p}.mlp.down_proj", q["down_proj"],
                             backend, interpret)
@@ -206,12 +228,15 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         residual = h
         hn = layer_norm(h, _m(params, f"{p}.self_attn_layer_norm")) \
             if cfg.do_layer_norm_before else h
-        qh = _heads(_lin(hn, params, f"{p}.self_attn.q_proj", attn_cfg.q_proj,
-                         backend, interpret), cfg.num_attention_heads)
-        kh = _heads(_lin(hn, params, f"{p}.self_attn.k_proj", attn_cfg.k_proj,
-                         backend, interpret), cfg.num_attention_heads)
-        vh = _heads(_lin(hn, params, f"{p}.self_attn.v_proj", attn_cfg.v_proj,
-                         backend, interpret), cfg.num_attention_heads)
+        qy, ky, vy = _lin_group(
+            hn, params, p, "self_attn.qkv_proj",
+            ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+            (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj),
+            backend, interpret,
+        )
+        qh = _heads(qy, cfg.num_attention_heads)
+        kh = _heads(ky, cfg.num_attention_heads)
+        vh = _heads(vy, cfg.num_attention_heads)
         if kv_valid is not None:
             kh = kh * kv_valid[:, None, :, None]
             vh = vh * kv_valid[:, None, :, None]
@@ -273,31 +298,40 @@ LLAMA_REL_KEYS = (
 
 def stack_backend(backend: dict, cfg) -> dict | None:
     """Prefix-keyed Pallas backend → rel-keyed stacked arrays (L, ...) for the
-    scan body, with layer-0 metadata (uniform layers required)."""
+    scan body, with layer-0 metadata (uniform layers required). The rel-key
+    set is derived from what the backend actually packed, so fused entries
+    (qkv_proj / gateup_proj) stack the same way."""
     if backend is None:
         return None
     import jax.numpy as _jnp
 
+    p0 = llama_mod.layer_prefix(0) + "."
+    rels = [k[len(p0):] for k in backend["meta"] if k.startswith(p0)]
     arrays = {}
     meta = {}
-    for rel in LLAMA_REL_KEYS:
+    for rel in rels:
         per_layer = []
         for i in range(cfg.num_hidden_layers):
             prefix = f"{llama_mod.layer_prefix(i)}.{rel}"
             per_layer.append(backend["arrays"][prefix])
+            if backend["meta"][prefix] != backend["meta"][p0 + rel]:
+                raise ValueError(
+                    f"scan_layers requires uniform per-layer packing; "
+                    f"{prefix} differs from layer 0"
+                )
         arrays[rel] = {
             k: (None if per_layer[0][k] is None
                 else _jnp.stack([p[k] for p in per_layer]))
             for k in per_layer[0]
         }
-        meta[rel] = backend["meta"][f"{llama_mod.layer_prefix(0)}.{rel}"]
+        meta[rel] = backend["meta"][p0 + rel]
     return {"arrays": arrays, "meta": meta}
 
 
 def _lin_slice(x, sl, rel, qc, backend_meta, backend_slice):
     """Linear inside the scan body: Pallas kernel when a backend slice is
     present, else emulated qlinear on the stacked-param slice."""
-    if backend_slice is not None:
+    if backend_slice is not None and rel in backend_slice:
         from .pallas_backend import serving_linear
 
         one = {"arrays": {rel: backend_slice[rel]}, "meta": {rel: backend_meta[rel]}}
@@ -306,6 +340,22 @@ def _lin_slice(x, sl, rel, qc, backend_meta, backend_slice):
 
     m = {k: sl.get(f"{rel}.{k}") for k in ("weight", "bias", "A", "B")}
     return qlinear(x, m, qc)
+
+
+def _lin_group_slice(x, sl, fused_rel, member_rels, qcs,
+                     backend_meta, backend_slice):
+    """Scan-body analogue of :func:`_lin_group`: one fused launch when the
+    stacked backend holds the fused entry, else per-member linears."""
+    if backend_meta is not None and fused_rel in backend_meta:
+        from .pallas_backend import serving_linear_split
+
+        one = {"arrays": {fused_rel: backend_slice[fused_rel]},
+               "meta": {fused_rel: backend_meta[fused_rel]}}
+        return serving_linear_split(x, fused_rel, one, qcs[0])
+    return [
+        _lin_slice(x, sl, rel, qc, backend_meta, backend_slice)
+        for rel, qc in zip(member_rels, qcs)
+    ]
 
 
 def llama_step_scan(
@@ -356,12 +406,15 @@ def llama_step_scan(
         sl, k_cache_l, v_cache_l, bsl = xs
         residual = h
         hn = rms_norm(h, rel_mod(sl, "input_layernorm"), cfg.rms_norm_eps)
-        qh = _heads(_lin_slice(hn, sl, "self_attn.q_proj", attn_cfg.q_proj,
-                               b_meta, bsl), cfg.num_attention_heads)
-        kh = _heads(_lin_slice(hn, sl, "self_attn.k_proj", attn_cfg.k_proj,
-                               b_meta, bsl), cfg.kv_heads)
-        vh = _heads(_lin_slice(hn, sl, "self_attn.v_proj", attn_cfg.v_proj,
-                               b_meta, bsl), cfg.kv_heads)
+        qy, ky, vy = _lin_group_slice(
+            hn, sl, "self_attn.qkv_proj",
+            ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+            (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj),
+            b_meta, bsl,
+        )
+        qh = _heads(qy, cfg.num_attention_heads)
+        kh = _heads(ky, cfg.kv_heads)
+        vh = _heads(vy, cfg.kv_heads)
         qh, kh = llama_mod.apply_rotary(qh, kh, cos, sin, q_abs)
         if kv_valid is not None:
             kh = kh * kv_valid[:, None, :, None]
@@ -382,8 +435,12 @@ def llama_step_scan(
         residual = h
         hn = rms_norm(h, rel_mod(sl, "post_attention_layernorm"),
                       cfg.rms_norm_eps)
-        gate = _lin_slice(hn, sl, "mlp.gate_proj", q["gate_proj"], b_meta, bsl)
-        up = _lin_slice(hn, sl, "mlp.up_proj", q["up_proj"], b_meta, bsl)
+        gate, up = _lin_group_slice(
+            hn, sl, "mlp.gateup_proj",
+            ("mlp.gate_proj", "mlp.up_proj"),
+            (q["gate_proj"], q["up_proj"]),
+            b_meta, bsl,
+        )
         h = residual + _lin_slice(jax.nn.silu(gate) * up, sl,
                                   "mlp.down_proj", q["down_proj"], b_meta, bsl)
         return h, (k_l, v_l)

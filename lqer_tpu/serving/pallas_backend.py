@@ -23,6 +23,26 @@ logger = get_logger("serving.pallas")
 
 TILE_K = 256
 
+# Projections sharing one input activation, fusable into a single kernel
+# launch by concatenating their (packed) weights along the output axis —
+# this shares the X VMEM residency AND the activation quantization, and
+# cuts per-layer launches 7 → 4 (qkv, o, gate|up, down). Relevant on this
+# environment's remote-compile TPUs where per-launch overhead (~60-80 µs)
+# dominates small decode GEMMs (ROADMAP "megakernel" item, step 1).
+_FUSE_GROUPS_LLAMA = (
+    ("self_attn.qkv_proj",
+     ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj")),
+    ("mlp.gateup_proj", ("mlp.gate_proj", "mlp.up_proj")),
+)
+_FUSE_GROUPS_OPT = (
+    ("self_attn.qkv_proj",
+     ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj")),
+)
+
+
+def fuse_groups_for(cfg):
+    return _FUSE_GROUPS_OPT if cfg.arch == "opt" else _FUSE_GROUPS_LLAMA
+
 
 def _pick_tile_n(n: int) -> int:
     for tn in (512, 256, 128):
@@ -31,11 +51,72 @@ def _pick_tile_n(n: int) -> int:
     raise ValueError(f"out_features {n} not divisible by a supported tile")
 
 
+def _fusable(layer_prefix: str, members, params, layer_qcfg) -> bool:
+    """Numerics-preserving fusion requires: identical activation-side
+    quantizers across members (memoized callables ⇒ identity compare works),
+    uniform A/B presence with per-member rank a multiple of the A_out group
+    (16) so shared-exponent groups of the fused X·A partial never span two
+    members, and per-member out_features a multiple of 16 for the same
+    reason on the B_out side."""
+    qcs = [models._proj_qcfg(layer_qcfg, m.rsplit(".", 1)[-1]) for m in members]
+    q0 = qcs[0]
+    for qc in qcs[1:]:
+        if (qc.x_quantizer is not q0.x_quantizer
+                or qc.a_out_quantizer is not q0.a_out_quantizer
+                or qc.b_out_quantizer is not q0.b_out_quantizer):
+            return False
+    has_a = [params.get(f"{layer_prefix}.{m}.A") is not None for m in members]
+    if any(has_a) != all(has_a):
+        return False
+    total_n = 0
+    for m in members:
+        w = params[f"{layer_prefix}.{m}.weight"]
+        if w.shape[0] % 16 != 0:
+            return False
+        total_n += w.shape[0]
+        a = params.get(f"{layer_prefix}.{m}.A")
+        if a is not None and a.shape[1] % 16 != 0:
+            return False
+    return total_n % 128 == 0
+
+
+def _fuse_members(layer_prefix: str, members, params, layer_qcfg):
+    """Concatenate member weights along out_features; A along rank;
+    B block-diagonally. Exact zeros in the off-diagonal B blocks keep the
+    fused correction bit-identical to the per-member one (x + 0.0 == x in
+    the f32 accumulator)."""
+    full = [f"{layer_prefix}.{m}" for m in members]
+    w = jnp.concatenate([params[p + ".weight"] for p in full], axis=0)
+    bias = None
+    if all(params.get(p + ".bias") is not None for p in full):
+        bias = jnp.concatenate([
+            models._proj_qcfg(layer_qcfg, m.rsplit(".", 1)[-1]).b_quantizer(
+                params[f"{layer_prefix}.{m}.bias"])
+            for m in members
+        ])
+    a = b = None
+    if params.get(full[0] + ".A") is not None:
+        a_list = [params[p + ".A"] for p in full]
+        b_list = [params[p + ".B"] for p in full]
+        a = jnp.concatenate(a_list, axis=1)  # (K, ΣR)
+        total_r = sum(x.shape[1] for x in a_list)
+        total_n = sum(x.shape[1] for x in b_list)
+        b = jnp.zeros((total_r, total_n), b_list[0].dtype)
+        r0 = n0 = 0
+        for ai, bi in zip(a_list, b_list):
+            b = b.at[r0:r0 + ai.shape[1], n0:n0 + bi.shape[1]].set(bi)
+            r0 += ai.shape[1]
+            n0 += bi.shape[1]
+    splits = tuple(params[p + ".weight"].shape[0] for p in full)
+    return w, a, b, bias, splits
+
+
 def prepare_serving_params(
     params: dict,
     cfg,
     layer_qcfgs,
     tile_k: int = TILE_K,
+    fuse_projections: bool = True,
 ) -> dict:
     """Pack every quantized linear: {module_prefix: prep dict}.
 
@@ -47,41 +128,68 @@ def prepare_serving_params(
     ``test_second_pass_stable``). Biases are quantized here with the layer's
     b_quantizer (the PTQ latch, `linear.py:50-59`); A/B come from the
     approximator already quantized.
+
+    ``fuse_projections=True`` packs q|k|v (and gate|up) as single fused
+    entries (``{layer}.self_attn.qkv_proj`` / ``{layer}.mlp.gateup_proj``,
+    ``meta[...]["splits"]`` holding the member out_features) — ONE kernel
+    launch and one activation quantization for the group. Falls back to
+    per-member packing when a group's configs/shapes don't meet the
+    alignment rules (see :func:`_fusable`).
     """
     arrays: dict = {}
     meta: dict = {}
+
+    def pack_one(key, w, a, b, bias, splits=None):
+        if w.shape[1] % tile_k != 0:
+            raise ValueError(
+                f"{key}: in_features {w.shape[1]} not divisible by "
+                f"tile_k {tile_k}"
+            )
+        prep = prepare_w4_weights(w, a=a, b=b, bias=bias, fmt=MXINT4,
+                                  tile_k=tile_k)
+        # split traced arrays from static metadata so the whole backend
+        # can be passed as a jit argument (tile sizes must stay static)
+        arrays[key] = {k: prep[k] for k in ("packed", "exps", "a", "b", "bias")}
+        meta[key] = {
+            "tile_k": tile_k,
+            "tile_n": _pick_tile_n(w.shape[0]),
+            "fmt": MXINT4,
+        }
+        if splits is not None:
+            meta[key]["splits"] = splits
+
     for i in range(cfg.num_hidden_layers):
-        for prefix, proj in models.quantizable_module_prefixes(cfg, i):
-            w = params[prefix + ".weight"]
-            if w.shape[1] % tile_k != 0:
-                raise ValueError(
-                    f"{prefix}: in_features {w.shape[1]} not divisible by "
-                    f"tile_k {tile_k}"
+        fused_members: set[str] = set()
+        if fuse_projections:
+            lp = _layer_prefix(cfg, i)
+            for fused_rel, member_rels in fuse_groups_for(cfg):
+                if not _fusable(lp, member_rels, params, layer_qcfgs[i]):
+                    continue
+                w, a, b, bias, splits = _fuse_members(
+                    lp, member_rels, params, layer_qcfgs[i]
                 )
+                pack_one(f"{lp}.{fused_rel}", w, a, b, bias, splits)
+                fused_members.update(f"{lp}.{m}" for m in member_rels)
+        for prefix, proj in models.quantizable_module_prefixes(cfg, i):
+            if prefix in fused_members:
+                continue
+            w = params[prefix + ".weight"]
             qc = models._proj_qcfg(layer_qcfgs[i], proj)
             bias = params.get(prefix + ".bias")
             if bias is not None:
                 bias = qc.b_quantizer(bias)
-            prep = prepare_w4_weights(
-                w,
-                a=params.get(prefix + ".A"),
-                b=params.get(prefix + ".B"),
-                bias=bias,
-                fmt=MXINT4,
-                tile_k=tile_k,
-            )
-            # split traced arrays from static metadata so the whole backend
-            # can be passed as a jit argument (tile sizes must stay static)
-            arrays[prefix] = {
-                k: prep[k] for k in ("packed", "exps", "a", "b", "bias")
-            }
-            meta[prefix] = {
-                "tile_k": tile_k,
-                "tile_n": _pick_tile_n(w.shape[0]),
-                "fmt": MXINT4,
-            }
+            pack_one(prefix, w, params.get(prefix + ".A"),
+                     params.get(prefix + ".B"), bias)
     logger.info("packed %d linears for the Pallas backend", len(meta))
     return {"arrays": arrays, "meta": meta}
+
+
+def _layer_prefix(cfg, i: int) -> str:
+    from ..models import llama as llama_mod
+    from ..models import opt as opt_mod
+
+    mod = opt_mod if cfg.arch == "opt" else llama_mod
+    return mod.layer_prefix(i)
 
 
 def serving_linear(
@@ -108,3 +216,24 @@ def serving_linear(
         interpret=interpret,
     )
     return y.reshape(b, s, -1).astype(x.dtype)
+
+
+def serving_linear_split(
+    x: jnp.ndarray,
+    fused_prefix: str,
+    backend: dict,
+    qc,
+    *,
+    interpret: bool | None = None,
+) -> list[jnp.ndarray]:
+    """Run a fused projection group (qkv / gate|up) as one kernel launch and
+    split the output back into the member projections (static split sizes
+    from ``meta[...]["splits"]``)."""
+    y = serving_linear(x, fused_prefix, backend, qc, interpret=interpret)
+    splits = backend["meta"][fused_prefix]["splits"]
+    offsets = []
+    acc = 0
+    for s_ in splits[:-1]:
+        acc += s_
+        offsets.append(acc)
+    return jnp.split(y, offsets, axis=-1)

@@ -60,8 +60,16 @@ def test_pallas_step_matches_emulation():
 
     # serving prep packs from the ORIGINAL weights (bit-exact re-derivation
     # of W_q); the emulated reference path uses the PTQ'd params
+    backend_unfused = prepare_serving_params(params, cfg, qcfgs,
+                                             fuse_projections=False)
+    assert len(backend_unfused["meta"]) == 7
+    # default prep fuses q|k|v and gate|up into single launches
     backend = prepare_serving_params(params, cfg, qcfgs)
-    assert len(backend["meta"]) == 7
+    assert len(backend["meta"]) == 4
+    p0 = "model.layers.0"
+    assert backend["meta"][f"{p0}.self_attn.qkv_proj"]["splits"] == (
+        256, 128, 128)
+    assert backend["meta"][f"{p0}.mlp.gateup_proj"]["splits"] == (256, 256)
     params = models.prepare_ptq(params, cfg, qcfgs)
 
     ids = jnp.asarray([[3, 17, 42, 9]], dtype=jnp.int32)
@@ -74,6 +82,10 @@ def test_pallas_step_matches_emulation():
     out_logits, _ = model_step(params, ids, cache_b, pos, cfg, qcfgs,
                                backend=backend, interpret=True)
 
+    cache_c = make_cache(cfg, 1, 32, dtype=jnp.float32)
+    unfused_logits, _ = model_step(params, ids, cache_c, pos, cfg, qcfgs,
+                                   backend=backend_unfused, interpret=True)
+
     ref = np.asarray(ref_logits)
     out = np.asarray(out_logits)
     # bf16 operand rounding is exact for MXINT values; differences come from
@@ -82,6 +94,12 @@ def test_pallas_step_matches_emulation():
     # top-1 predictions must agree
     np.testing.assert_array_equal(
         np.argmax(out, axis=-1), np.argmax(ref, axis=-1)
+    )
+    # fused projections are per-column independent in the main GEMM and
+    # block-diagonal in the correction: results match unfused very tightly
+    # (only K-tile accumulation order can differ — here it doesn't)
+    np.testing.assert_allclose(
+        np.asarray(unfused_logits), out, atol=1e-5, rtol=1e-5
     )
 
 

@@ -207,3 +207,37 @@ def forward(
         tap("lm_head", h)
     lm_head = params.get("lm_head.weight", embed)
     return jnp.matmul(h, lm_head.T)
+
+
+# ---------------------------------------------------------------------------
+# lax.scan layer loop (compile-time scaling for deep models)
+# ---------------------------------------------------------------------------
+LAYER_REL_KEYS = (
+    "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+    "self_attn.out_proj", "fc1", "fc2",
+    "self_attn_layer_norm", "final_layer_norm",
+)
+
+
+def stack_layer_params(params: dict, cfg: OPTConfig) -> tuple[dict, dict]:
+    """Stack per-layer params into leading-axis (L, ...) arrays for lax.scan.
+
+    Requires every layer to carry the same key set (all-or-none A/B). Returns
+    (stacked, rest) where ``rest`` holds embeddings/norms/head/project_in|out.
+    """
+    stacked: dict[str, jnp.ndarray] = {}
+    consumed = set()
+    for rel in LAYER_REL_KEYS:
+        for suffix in ("weight", "bias", "A", "B"):
+            name0 = f"{layer_prefix(0)}.{rel}.{suffix}"
+            if name0 not in params:
+                continue
+            per_layer = []
+            for i in range(cfg.num_hidden_layers):
+                n = f"{layer_prefix(i)}.{rel}.{suffix}"
+                assert n in params, f"layer {i} missing {rel}.{suffix}"
+                per_layer.append(params[n])
+                consumed.add(n)
+            stacked[f"{rel}.{suffix}"] = jnp.stack(per_layer)
+    rest = {k: v for k, v in params.items() if k not in consumed}
+    return stacked, rest

@@ -305,14 +305,15 @@ def stack_backend(backend: dict, cfg) -> dict | None:
         return None
     import jax.numpy as _jnp
 
-    p0 = llama_mod.layer_prefix(0) + "."
+    arch_mod = opt_mod if cfg.arch == "opt" else llama_mod
+    p0 = arch_mod.layer_prefix(0) + "."
     rels = [k[len(p0):] for k in backend["meta"] if k.startswith(p0)]
     arrays = {}
     meta = {}
     for rel in rels:
         per_layer = []
         for i in range(cfg.num_hidden_layers):
-            prefix = f"{llama_mod.layer_prefix(i)}.{rel}"
+            prefix = f"{arch_mod.layer_prefix(i)}.{rel}"
             per_layer.append(backend["arrays"][prefix])
             if backend["meta"][prefix] != backend["meta"][p0 + rel]:
                 raise ValueError(
@@ -358,6 +359,42 @@ def _lin_group_slice(x, sl, fused_rel, member_rels, qcs,
     ]
 
 
+def _scan_cache_update(cache_sl, kh, vh, positions, compute_dtype):
+    """Per-layer cache-slice update inside a scan body: write the new K/V
+    entries and return (updated slice, decoded K view, decoded V view).
+    Handles both the fp layout ({k, v}) and the MXINT8-quantized layout
+    ({k_codes, k_exps, v_codes, v_exps}) — same math as
+    `kv_cache.update_layer_cache[_quantized]` minus the (L,)-indexed
+    scatter, which scan's xs→ys threading replaces."""
+
+    def upd(c, n, p):
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, p, 0))
+
+    if "k_codes" in cache_sl:
+        from ..parallel.collectives import mx8_decode, mx8_encode
+
+        group = cache_sl["k_codes"].shape[-1] // cache_sl["k_exps"].shape[-1]
+        k_c, k_e = mx8_encode(kh, group)
+        v_c, v_e = mx8_encode(vh, group)
+        new = {
+            "k_codes": jax.vmap(upd)(cache_sl["k_codes"], k_c, positions),
+            "k_exps": jax.vmap(upd)(cache_sl["k_exps"], k_e, positions),
+            "v_codes": jax.vmap(upd)(cache_sl["v_codes"], v_c, positions),
+            "v_exps": jax.vmap(upd)(cache_sl["v_exps"], v_e, positions),
+        }
+        k_l = mx8_decode(new["k_codes"], new["k_exps"], group, compute_dtype)
+        v_l = mx8_decode(new["v_codes"], new["v_exps"], group, compute_dtype)
+        return new, k_l, v_l
+    k_l = jax.vmap(upd)(cache_sl["k"], kh, positions)
+    v_l = jax.vmap(upd)(cache_sl["v"], vh, positions)
+    return {"k": k_l, "v": v_l}, k_l, v_l
+
+
+def _cache_max_len(cache: dict) -> int:
+    return (cache["k_codes"] if is_quantized_cache(cache)
+            else cache["k"]).shape[3]
+
+
 def llama_step_scan(
     params: dict,
     input_ids: jnp.ndarray,
@@ -373,8 +410,9 @@ def llama_step_scan(
     """`model_step` for Llama with the layer loop as lax.scan: ONE trace of
     the decoder layer regardless of depth (the 4-layer engine warmup already
     costs minutes of compile through this environment's relay; 32-80 layer
-    models need this). The KV cache threads through scan as xs→ys: each step
-    consumes its layer's cache slice and emits the updated slice.
+    models need this). The KV cache (fp or MXINT8-quantized) threads through
+    scan as xs→ys: each step consumes its layer's cache slice and emits the
+    updated slice.
 
     Requires a UNIFORM per-layer quantizer config (`layer_qcfg` applied to
     all layers); heterogeneous configs use the unrolled `model_step`.
@@ -387,7 +425,7 @@ def llama_step_scan(
     attn_cfg = q["attn"]
 
     b, s = input_ids.shape
-    max_len = cache["k"].shape[3]
+    max_len = _cache_max_len(cache)
     embed = rest["model.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     q_abs = _abs_positions(positions, s)
@@ -403,7 +441,7 @@ def llama_step_scan(
         return {k: sl.get(f"{rel}.{k}") for k in ("weight", "bias", "A", "B")}
 
     def body(h, xs):
-        sl, k_cache_l, v_cache_l, bsl = xs
+        sl, cache_sl, bsl = xs
         residual = h
         hn = rms_norm(h, rel_mod(sl, "input_layernorm"), cfg.rms_norm_eps)
         qy, ky, vy = _lin_group_slice(
@@ -420,11 +458,8 @@ def llama_step_scan(
             kh = kh * kv_valid[:, None, :, None]
             vh = vh * kv_valid[:, None, :, None]
 
-        def upd(c, n, p):
-            return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, p, 0))
-
-        k_l = jax.vmap(upd)(k_cache_l, kh, positions)
-        v_l = jax.vmap(upd)(v_cache_l, vh, positions)
+        new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
+                                              h.dtype)
 
         attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
                        attn_cfg, cfg.head_dim**-0.5, n_rep, scale_query=False)
@@ -443,14 +478,104 @@ def llama_step_scan(
         )
         h = residual + _lin_slice(jax.nn.silu(gate) * up, sl,
                                   "mlp.down_proj", q["down_proj"], b_meta, bsl)
-        return h, (k_l, v_l)
+        return h, new_sl
 
     b_arrays = None if backend_stacked is None else backend_stacked["arrays"]
-    xs = (stacked, cache["k"], cache["v"], b_arrays)
-    h, (k_new, v_new) = jax.lax.scan(body, h, xs)
-    cache = {"k": k_new, "v": v_new}
+    xs = (stacked, cache, b_arrays)
+    h, cache = jax.lax.scan(body, h, xs)
 
     h = rms_norm(h, {"weight": rest["model.norm.weight"],
                      "bias": rest.get("model.norm.bias")}, cfg.rms_norm_eps)
+    lm_head = rest.get("lm_head.weight", embed)
+    return jnp.matmul(h, lm_head.T), cache
+
+
+def opt_step_scan(
+    params: dict,
+    input_ids: jnp.ndarray,
+    cache: dict,
+    positions: jnp.ndarray,
+    cfg,
+    layer_qcfg: dict | None,
+    stacked: dict | None = None,
+    rest: dict | None = None,
+    backend_stacked: dict | None = None,
+    valid_lengths: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """OPT analogue of :func:`llama_step_scan` (same xs→ys cache threading,
+    fp or MXINT8-quantized; uniform per-layer config required). Pre-LN and
+    post-LN (`do_layer_norm_before`) variants both supported; project_in/out
+    (OPT-350m) live in ``rest``."""
+    from ..models.fp_config import FP_LAYER_OPT
+
+    if stacked is None or rest is None:
+        stacked, rest = opt_mod.stack_layer_params(params, cfg)
+    q = layer_qcfg if layer_qcfg is not None else FP_LAYER_OPT
+    attn_cfg = q["attn"]
+
+    b, s = input_ids.shape
+    max_len = _cache_max_len(cache)
+    embed = rest["model.decoder.embed_tokens.weight"]
+    h = jnp.take(embed, input_ids, axis=0)
+    if rest.get("model.decoder.project_in.weight") is not None:  # OPT-350m
+        h = jnp.matmul(h, rest["model.decoder.project_in.weight"].T)
+    q_abs = _abs_positions(positions, s)
+    h = h + jnp.take(
+        rest["model.decoder.embed_positions.weight"], q_abs + 2, axis=0
+    )
+    mask = _cache_mask(q_abs, max_len, h.dtype)
+    kv_valid = _kv_valid_mask(valid_lengths, s)
+    b_meta = None if backend_stacked is None else backend_stacked["meta"]
+
+    def rel_mod(sl, rel):
+        return {k: sl.get(f"{rel}.{k}") for k in ("weight", "bias", "A", "B")}
+
+    def body(h, xs):
+        sl, cache_sl, bsl = xs
+        residual = h
+        hn = layer_norm(h, rel_mod(sl, "self_attn_layer_norm")) \
+            if cfg.do_layer_norm_before else h
+        qy, ky, vy = _lin_group_slice(
+            hn, sl, "self_attn.qkv_proj",
+            ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+            (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj),
+            b_meta, bsl,
+        )
+        qh = _heads(qy, cfg.num_attention_heads)
+        kh = _heads(ky, cfg.num_attention_heads)
+        vh = _heads(vy, cfg.num_attention_heads)
+        if kv_valid is not None:
+            kh = kh * kv_valid[:, None, :, None]
+            vh = vh * kv_valid[:, None, :, None]
+
+        new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
+                                              h.dtype)
+        attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
+                       attn_cfg, cfg.head_dim**-0.5, n_rep=1, scale_query=True)
+        attn = _lin_slice(merge_heads(attn), sl, "self_attn.out_proj",
+                          attn_cfg.o_proj, b_meta, bsl)
+        h = residual + attn
+        if not cfg.do_layer_norm_before:
+            h = layer_norm(h, rel_mod(sl, "self_attn_layer_norm"))
+
+        residual = h
+        hn = layer_norm(h, rel_mod(sl, "final_layer_norm")) \
+            if cfg.do_layer_norm_before else h
+        hn = _lin_slice(hn, sl, "fc1", q["fc1"], b_meta, bsl)
+        hn = jax.nn.relu(hn)
+        hn = _lin_slice(hn, sl, "fc2", q["fc2"], b_meta, bsl)
+        h = residual + hn
+        if not cfg.do_layer_norm_before:
+            h = layer_norm(h, rel_mod(sl, "final_layer_norm"))
+        return h, new_sl
+
+    b_arrays = None if backend_stacked is None else backend_stacked["arrays"]
+    xs = (stacked, cache, b_arrays)
+    h, cache = jax.lax.scan(body, h, xs)
+
+    if rest.get("model.decoder.final_layer_norm.weight") is not None:
+        h = layer_norm(h, opt_mod._mod(rest, "model.decoder.final_layer_norm"))
+    if rest.get("model.decoder.project_out.weight") is not None:
+        h = jnp.matmul(h, rest["model.decoder.project_out.weight"].T)
     lm_head = rest.get("lm_head.weight", embed)
     return jnp.matmul(h, lm_head.T), cache

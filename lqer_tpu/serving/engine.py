@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .decode import make_cache, model_step
+from .. import models
 from ..utils.logging import get_logger
 
 logger = get_logger("serving")
@@ -82,15 +83,10 @@ class DecodeEngine:
         backend = pallas_backend
         self._scan = scan_layers
         if scan_layers:
-            assert cfg.arch in ("llama", "mistral"), cfg.arch
-            assert cache_dtype != "mxint8", (
-                "scan_layers does not support the quantized KV cache yet "
-                "(the scan threads fp cache slices); use the unrolled step"
-            )
-            from ..models.llama import stack_layer_params
-            from .decode import llama_step_scan, stack_backend
+            from .decode import stack_backend
 
-            self._stacked, self._rest = stack_layer_params(params, cfg)
+            arch_mod = models.get_arch_module(cfg)
+            self._stacked, self._rest = arch_mod.stack_layer_params(params, cfg)
             bs = stack_backend(backend, cfg)
             self._bs_meta = None if bs is None else bs["meta"]
             self._bs_arrays = None if bs is None else bs["arrays"]
@@ -111,9 +107,11 @@ class DecodeEngine:
                        valid_lengths=None):
             if scan_layers:
                 stacked, rest = params_or_stack
-                from .decode import llama_step_scan
+                from .decode import llama_step_scan, opt_step_scan
 
-                return llama_step_scan(
+                step_scan = opt_step_scan if cfg.arch == "opt" \
+                    else llama_step_scan
+                return step_scan(
                     {}, ids, cache, positions, cfg, layer_qcfg0,
                     stacked=stacked, rest=rest,
                     backend_stacked=_mk_bs(backend_arrays),

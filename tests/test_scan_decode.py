@@ -70,3 +70,70 @@ def test_scan_decode_matches_unrolled_pallas():
     unrolled = _run_engine(params, cfg, qcfgs, backend, scan=False)
     scanned = _run_engine(params, cfg, qcfgs, backend, scan=True)
     assert scanned == unrolled, (scanned, unrolled)
+
+
+def test_scan_decode_quantized_cache_matches_unrolled():
+    """MXINT8 KV cache threads through the scan (codes/exps as xs→ys) and
+    must reproduce the unrolled quantized-cache engine exactly."""
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=3, heads=4,
+                           kv_heads=2, inter=96)
+    params = models.init_params(cfg, jax.random.PRNGKey(2))
+    qcfgs = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    def run(scan):
+        eng = DecodeEngine(params, cfg, qcfgs, num_slots=2, max_len=64,
+                           cache_dtype="mxint8", scan_layers=scan)
+        reqs = [Request(prompt_ids=[3, 9, 27], max_new_tokens=4),
+                Request(prompt_ids=[5, 6], max_new_tokens=3)]
+        eng.run(reqs)
+        return [r.output_ids for r in reqs]
+
+    assert run(True) == run(False)
+
+
+OPT_Q_CONFIG = {
+    "linear": Q_CONFIG["linear"],
+    "bmm": {"name": "flexible", "x_quantizer": _q(8, [1, 16], True),
+            "w_quantizer": _q(8, [1, 16], True)},
+}
+
+
+def test_opt_scan_decode_matches_unrolled():
+    from lqer_tpu.models import OPTConfig
+
+    cfg = OPTConfig.tiny(vocab_size=128, hidden=64, layers=3, heads=4,
+                         ffn=96, max_pos=64)
+    params = models.init_params(cfg, jax.random.PRNGKey(3))
+    qcfgs = models.quantize_model(cfg, OPT_Q_CONFIG, L_CONFIG)
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    def run(scan, cache_dtype=jnp.float32):
+        eng = DecodeEngine(params, cfg, qcfgs, num_slots=2, max_len=64,
+                           cache_dtype=cache_dtype, scan_layers=scan)
+        reqs = [Request(prompt_ids=[3, 9, 27], max_new_tokens=4),
+                Request(prompt_ids=[5, 6], max_new_tokens=3)]
+        eng.run(reqs)
+        return [r.output_ids for r in reqs]
+
+    unrolled = run(False)
+    assert run(True) == unrolled
+    # quantized cache variant agrees between scan and unrolled too
+    assert run(True, "mxint8") == run(False, "mxint8")
+
+
+def test_opt_scan_decode_matches_unrolled_pallas():
+    from lqer_tpu.models import OPTConfig
+
+    cfg = OPTConfig.tiny(vocab_size=128, hidden=256, layers=2, heads=4,
+                         ffn=256, max_pos=64)
+    params = models.init_params(cfg, jax.random.PRNGKey(4))
+    qcfgs = models.quantize_model(cfg, OPT_Q_CONFIG, L_CONFIG)
+    backend = prepare_serving_params(params, cfg, qcfgs)
+    # OPT fuses qkv only (fc1/fc2 have different inputs)
+    assert "model.decoder.layers.0.self_attn.qkv_proj" in backend["meta"]
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    unrolled = _run_engine(params, cfg, qcfgs, backend, scan=False)
+    scanned = _run_engine(params, cfg, qcfgs, backend, scan=True)
+    assert scanned == unrolled, (scanned, unrolled)

@@ -70,10 +70,17 @@ def _abs_positions(positions: jnp.ndarray, s: int) -> jnp.ndarray:
     return positions[:, None] + jnp.arange(s)[None, :]  # (b, s)
 
 
-def _cache_mask(q_abs: jnp.ndarray, max_len: int, dtype) -> jnp.ndarray:
-    """(b, 1, s, max_len): query at absolute pos p sees cache slots <= p."""
+def _cache_mask(q_abs: jnp.ndarray, max_len: int, dtype,
+                window: int | None = None) -> jnp.ndarray:
+    """(b, 1, s, max_len): query at absolute pos p sees cache slots <= p;
+    with ``window`` (Mistral sliding-window attention,
+    `mistral_decoder.py` / `_sliding_window_mask` in models.llama) only the
+    last ``window`` slots."""
     k_idx = jnp.arange(max_len)[None, None, :]
-    ok = k_idx <= q_abs[:, :, None]
+    q = q_abs[:, :, None]
+    ok = k_idx <= q
+    if window is not None:
+        ok = ok & (k_idx > q - window)
     return jnp.where(ok, 0.0, jnp.finfo(dtype).min).astype(dtype)[:, None, :, :]
 
 
@@ -149,7 +156,8 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
     h = jnp.take(embed, input_ids, axis=0)
 
     q_abs = _abs_positions(positions, s)
-    mask = _cache_mask(q_abs, max_len, h.dtype)
+    mask = _cache_mask(q_abs, max_len, h.dtype,
+                       window=getattr(cfg, "sliding_window", None))
     kv_valid = _kv_valid_mask(valid_lengths, s)
     cos, sin = llama_mod.rotary_tables(
         cfg.head_dim, max(max_len, cfg.max_position_embeddings), cfg.rope_theta
@@ -429,7 +437,8 @@ def llama_step_scan(
     embed = rest["model.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     q_abs = _abs_positions(positions, s)
-    mask = _cache_mask(q_abs, max_len, h.dtype)
+    mask = _cache_mask(q_abs, max_len, h.dtype,
+                       window=getattr(cfg, "sliding_window", None))
     kv_valid = _kv_valid_mask(valid_lengths, s)
     cos, sin = llama_mod.rotary_tables(
         cfg.head_dim, max(max_len, cfg.max_position_embeddings), cfg.rope_theta

@@ -201,3 +201,36 @@ def test_engine_with_quantized_cache():
     engine.run(reqs)
     assert all(r.done for r in reqs)
     assert len(reqs[0].output_ids) == 4 and len(reqs[1].output_ids) == 3
+
+
+def test_sliding_window_decode_matches_full_forward():
+    """Mistral-style sliding-window attention in the serving path: cached
+    decode with `cfg.sliding_window` set must match the cache-less eval
+    forward (which builds the sliding mask, models/llama.py::
+    _sliding_window_mask) once sequences exceed the window."""
+    import dataclasses
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
+                           kv_heads=2, inter=96)
+    cfg = dataclasses.replace(cfg, sliding_window=4)
+    params = models.init_params(cfg, jax.random.PRNGKey(7))
+    prompt = [3, 17, 42, 9, 88, 5]  # prompt already longer than the window
+    ref = _greedy_reference(params, cfg, None, prompt, 6)
+
+    cache = make_cache(cfg, batch=1, max_len=64, dtype=jnp.float32)
+    logits, cache = model_step(
+        params, jnp.asarray([prompt], dtype=jnp.int32), cache,
+        jnp.zeros((1,), jnp.int32), cfg, None,
+    )
+    tok = int(jnp.argmax(logits[0, -1]))
+    got = [tok]
+    pos = len(prompt)
+    for _ in range(5):
+        logits, cache = model_step(
+            params, jnp.asarray([[tok]], dtype=jnp.int32), cache,
+            jnp.asarray([pos], jnp.int32), cfg, None,
+        )
+        tok = int(jnp.argmax(logits[0, -1]))
+        got.append(tok)
+        pos += 1
+    assert got == ref, (got, ref)

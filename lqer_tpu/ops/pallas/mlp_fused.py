@@ -1,0 +1,419 @@
+"""MLP megakernel: gate|up GEMMs → activation → act-quant → down GEMM as ONE
+`pallas_call`, all three linears carrying their LQER low-rank corrections.
+
+The emulated math being fused (reference semantics,
+`quantized_layers/linear.py:145-157` per linear plus the decoder's MLP glue,
+`llama_decoder.py:62-106` / `opt_decoder.py:212-236`):
+
+    y_g = X W_g^T + q_o(q_a(X A_g) B_g) + b_g
+    y_u = X W_u^T + q_o(q_a(X A_u) B_u) + b_u     (gated variant only)
+    H   = act(y_g) [* y_u]                         (silu·mul, or relu)
+    H_q = x_quantizer(H)                           (MXINT8 groups of 16)
+    Y   = H_q W_d^T + q_o(q_a(H_q A_d) B_d) + b_d
+
+Why one launch: per-launch dispatch overhead (~50-80 µs on this
+environment's v5e) dominates decode-sized GEMMs — fusing the two MLP
+launches plus the XLA elementwise/quantize glue removes a third of each
+layer's kernel dispatches AND keeps the (M, I) intermediate in VMEM instead
+of an HBM round-trip.
+
+Mechanics: a 1-D grid with two phases. Phase 1 sweeps (i, k) tiles of the
+gate/up GEMMs, pairing the same i-tile of gate and up so the activation can
+combine them in the epilogue and deposit the quantized intermediate into a
+persistent VMEM scratch (M, I). Phase 2 sweeps (n, k2) tiles of the down
+GEMM reading that scratch as its contraction operand. Operands not used by
+the active phase keep a constant block index, so Pallas never re-fetches
+them. VMEM budget: the scratch is M·I·4B (e.g. 8×11264 ≈ 360 KB; cap M at
+~128 and fall back to two launches beyond).
+
+Numerics match the two-launch path bit-exactly: identical per-tile MXU dots
+in the same k order, identical shared-exponent quantization groups (tile
+sizes are multiples of the 16-wide groups).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..storage import MXINT4, MXFormat
+from .dequant_gemm import _quantize_rows_mx, prepare_w4_weights
+
+
+def _unpack_w4(p_ref, e_ref, mb: int, group: int) -> jnp.ndarray:
+    """Nibble-unpack + per-group scale (same as dequant_gemm._kernel)."""
+    p = p_ref[:].astype(jnp.int32)  # (TK/2, TN)
+    low = (p << 28) >> 28
+    high = (p << 24) >> 28
+    codes = jnp.concatenate([low, high], axis=0).astype(jnp.float32)
+    scale = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)
+    tk, tn = codes.shape
+    w = (codes.reshape(tk // group, group, tn) * scale[:, None, :]).reshape(tk, tn)
+    return w.astype(jnp.bfloat16)
+
+
+def _corr(xa_val, b_ref, quant_xa_mb, quant_out_mb, lo=None, hi=None):
+    """Low-rank correction epilogue: q_out(q_a(xa) @ B_tile)."""
+    if quant_xa_mb is not None:
+        xa_val = _quantize_rows_mx(xa_val, quant_xa_mb)
+    if lo is not None:
+        xa_val = xa_val[:, lo:hi]
+    c = jnp.dot(
+        xa_val.astype(jnp.bfloat16).astype(jnp.float32),
+        b_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if quant_out_mb is not None:
+        c = _quantize_rows_mx(c, quant_out_mb)
+    return c
+
+
+def _mlp_kernel(
+    # inputs (refs in this order; absent ones dropped by the adapter):
+    x_ref, pg_ref, eg_ref, pu_ref, eu_ref, pd_ref, ed_ref,
+    agu_ref, bg_ref, bu_ref, ad_ref, bd_ref,
+    biasg_ref, biasu_ref, biasd_ref,
+    o_ref,
+    acc_g, acc_u, acc_d, xa_gu, xa_d, inter,
+    *, mb, group, gated, act_mb,
+    n_i, n_k, n_n, n_k2, tile_i, tile_k2,
+    rank_gu, rank_d, has_bias,
+    quant_xa_mb, quant_out_mb,
+):
+    p = pl.program_id(0)
+    P1 = n_i * n_k
+    in_p1 = p < P1
+    k = jnp.where(in_p1, p % n_k, 0)
+    i = jnp.where(in_p1, p // n_k, 0)
+    j = jnp.where(in_p1, 0, p - P1)
+    k2 = j % n_k2
+    n = j // n_k2
+
+    # ---------------- phase 1: gate/up GEMMs + activation ----------------
+    @pl.when(in_p1)
+    def _():
+        @pl.when(k == 0)
+        def _():
+            acc_g[:] = jnp.zeros_like(acc_g)
+            if gated:
+                acc_u[:] = jnp.zeros_like(acc_u)
+
+        x = x_ref[:]
+        acc_g[:] += jnp.dot(x, _unpack_w4(pg_ref, eg_ref, mb, group),
+                            preferred_element_type=jnp.float32)
+        if gated:
+            acc_u[:] += jnp.dot(x, _unpack_w4(pu_ref, eu_ref, mb, group),
+                                preferred_element_type=jnp.float32)
+
+        if rank_gu > 0:
+            @pl.when(i == 0)
+            def _():
+                @pl.when(k == 0)
+                def _():
+                    xa_gu[:] = jnp.zeros_like(xa_gu)
+
+                xa_gu[:] += jnp.dot(
+                    x.astype(jnp.float32), agu_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+
+        @pl.when(k == n_k - 1)
+        def _():
+            y_g = acc_g[:]
+            y_u = acc_u[:] if gated else None
+            if rank_gu > 0:
+                xa_val = xa_gu[:]
+                y_g = y_g + _corr(xa_val, bg_ref, quant_xa_mb, quant_out_mb,
+                                  lo=0, hi=rank_gu if not gated else rank_gu // 2)
+                if gated:
+                    y_u = y_u + _corr(xa_val, bu_ref, quant_xa_mb,
+                                      quant_out_mb, lo=rank_gu // 2, hi=rank_gu)
+            if has_bias:
+                y_g = y_g + biasg_ref[:].astype(jnp.float32)
+                if gated:
+                    y_u = y_u + biasu_ref[:].astype(jnp.float32)
+            if gated:
+                h = jax.nn.silu(y_g) * y_u
+            else:
+                h = jnp.maximum(y_g, 0.0)
+            if act_mb is not None:
+                h = _quantize_rows_mx(h, act_mb)
+            inter[:, pl.ds(i * tile_i, tile_i)] = h.astype(inter.dtype)
+
+    # ---------------- phase 2: down GEMM over the VMEM intermediate ------
+    @pl.when(jnp.logical_not(in_p1))
+    def _():
+        @pl.when(k2 == 0)
+        def _():
+            acc_d[:] = jnp.zeros_like(acc_d)
+
+        h_tile = inter[:, pl.ds(k2 * tile_k2, tile_k2)]
+        h_bf = h_tile.astype(jnp.bfloat16)
+        acc_d[:] += jnp.dot(h_bf, _unpack_w4(pd_ref, ed_ref, mb, group),
+                            preferred_element_type=jnp.float32)
+
+        if rank_d > 0:
+            @pl.when(n == 0)
+            def _():
+                @pl.when(k2 == 0)
+                def _():
+                    xa_d[:] = jnp.zeros_like(xa_d)
+
+                xa_d[:] += jnp.dot(
+                    h_bf.astype(jnp.float32), ad_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+
+        @pl.when(k2 == n_k2 - 1)
+        def _():
+            r = acc_d[:]
+            if rank_d > 0:
+                r = r + _corr(xa_d[:], bd_ref, quant_xa_mb, quant_out_mb)
+            if has_bias:
+                r = r + biasd_ref[:].astype(jnp.float32)
+            o_ref[:] = r.astype(o_ref.dtype)
+
+
+def prepare_mlp_weights(
+    w_gate: jnp.ndarray,  # (I, K) — fc1 for the relu variant
+    w_up: jnp.ndarray | None,  # (I, K) or None (relu variant)
+    w_down: jnp.ndarray,  # (N, I)
+    *,
+    a_gate=None, b_gate=None, a_up=None, b_up=None, a_down=None, b_down=None,
+    bias_gate=None, bias_up=None, bias_down=None,
+    fmt: MXFormat = MXINT4,
+    tile_k: int = 256,
+    tile_k2: int = 256,
+) -> dict:
+    """Offline prep for :func:`mlp_w4_fused`. A_gate/A_up concatenate along
+    rank (shared input ⇒ shared X·A sweep); B stay separate per half."""
+    gated = w_up is not None
+    pg = prepare_w4_weights(w_gate, bias=bias_gate, fmt=fmt, tile_k=tile_k)
+    pu = (prepare_w4_weights(w_up, bias=bias_up, fmt=fmt, tile_k=tile_k)
+          if gated else None)
+    pd = prepare_w4_weights(w_down, bias=bias_down, fmt=fmt, tile_k=tile_k2)
+    a_gu = None
+    if a_gate is not None:
+        if gated:
+            assert a_up is not None and a_gate.shape == a_up.shape
+            a_gu = jnp.concatenate(
+                [jnp.asarray(a_gate, jnp.bfloat16),
+                 jnp.asarray(a_up, jnp.bfloat16)], axis=1)
+        else:
+            a_gu = jnp.asarray(a_gate, jnp.bfloat16)
+    return {
+        "gated": gated,
+        "fmt": fmt,
+        "tile_k": tile_k,
+        "tile_k2": tile_k2,
+        "pg": pg["packed"], "eg": pg["exps"],
+        "pu": None if pu is None else pu["packed"],
+        "eu": None if pu is None else pu["exps"],
+        "pd": pd["packed"], "ed": pd["exps"],
+        "a_gu": a_gu,
+        "b_g": None if b_gate is None else jnp.asarray(b_gate, jnp.bfloat16),
+        "b_u": None if b_up is None else jnp.asarray(b_up, jnp.bfloat16),
+        "a_d": None if a_down is None else jnp.asarray(a_down, jnp.bfloat16),
+        "b_d": None if b_down is None else jnp.asarray(b_down, jnp.bfloat16),
+        "bias_g": pg["bias"],
+        "bias_u": None if pu is None else pu["bias"],
+        "bias_d": pd["bias"],
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mb", "group", "gated", "act_width", "tile_m", "tile_i", "tile_n",
+        "tile_k", "tile_k2", "rank_gu", "rank_d", "has_bias",
+        "quant_xa_mb", "quant_out_mb", "out_dtype", "interpret",
+    ),
+)
+def _mlp_call(
+    x_q, pg, eg, pu, eu, pd, ed, a_gu, b_g, b_u, a_d, b_d,
+    bias_g, bias_u, bias_d,
+    *, mb, group, gated, act_width, tile_m, tile_i, tile_n, tile_k, tile_k2,
+    rank_gu, rank_d, has_bias, quant_xa_mb, quant_out_mb, out_dtype,
+    interpret,
+):
+    M, K = x_q.shape
+    I = pg.shape[1]
+    N = pd.shape[1]
+    n_i, n_k = I // tile_i, K // tile_k
+    n_n, n_k2 = N // tile_n, I // tile_k2
+    P = n_i * n_k + n_n * n_k2
+
+    def c(*idx):
+        return tuple(idx)
+
+    specs = []
+    args = []
+
+    def add(arr, shape, index_map):
+        specs.append(pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM))
+        args.append(arr)
+
+    P1 = n_i * n_k
+
+    def p1_idx(p):
+        return jnp.where(p < P1, p % n_k, 0), jnp.where(p < P1, p // n_k, 0)
+
+    def p2_idx(p):
+        j = jnp.where(p < P1, 0, p - P1)
+        return j % n_k2, j // n_k2
+
+    add(x_q.astype(jnp.bfloat16), (tile_m, tile_k),
+        lambda p: c(0, p1_idx(p)[0]))
+    add(pg, (tile_k // 2, tile_i), lambda p: c(*p1_idx(p)))
+    add(eg, (tile_k // group, tile_i), lambda p: c(*p1_idx(p)))
+    if gated:
+        add(pu, (tile_k // 2, tile_i), lambda p: c(*p1_idx(p)))
+        add(eu, (tile_k // group, tile_i), lambda p: c(*p1_idx(p)))
+    add(pd, (tile_k2 // 2, tile_n), lambda p: c(*p2_idx(p)))
+    add(ed, (tile_k2 // group, tile_n), lambda p: c(*p2_idx(p)))
+    if rank_gu > 0:
+        add(a_gu, (tile_k, rank_gu), lambda p: c(p1_idx(p)[0], 0))
+        add(b_g, (b_g.shape[0], tile_i), lambda p: c(0, p1_idx(p)[1]))
+        if gated:
+            add(b_u, (b_u.shape[0], tile_i), lambda p: c(0, p1_idx(p)[1]))
+    if rank_d > 0:
+        add(a_d, (tile_k2, rank_d), lambda p: c(p2_idx(p)[0], 0))
+        add(b_d, (rank_d, tile_n), lambda p: c(0, p2_idx(p)[1]))
+    if has_bias:
+        add(bias_g, (1, tile_i), lambda p: c(0, p1_idx(p)[1]))
+        if gated:
+            add(bias_u, (1, tile_i), lambda p: c(0, p1_idx(p)[1]))
+        add(bias_d, (1, tile_n), lambda p: c(0, p2_idx(p)[1]))
+
+    kernel = functools.partial(
+        _mlp_kernel_variant(gated, rank_gu, rank_d, has_bias),
+        mb=mb, group=group, gated=gated,
+        act_mb=None if act_width is None else act_width - 1,
+        n_i=n_i, n_k=n_k, n_n=n_n, n_k2=n_k2,
+        tile_i=tile_i, tile_k2=tile_k2,
+        rank_gu=rank_gu, rank_d=rank_d, has_bias=has_bias,
+        quant_xa_mb=quant_xa_mb, quant_out_mb=quant_out_mb,
+    )
+
+    flops = 2 * M * K * I * (2 if gated else 1) + 2 * M * I * N
+    bytes_acc = (M * K * 2 + (K * I // 2 + K * I // group) * (2 if gated else 1)
+                 + I * N // 2 + I * N // group + M * N * 4)
+    return pl.pallas_call(
+        kernel,
+        grid=(P,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda p: c(0, p2_idx(p)[1]),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, tile_i), jnp.float32),   # acc_g
+            pltpu.VMEM((tile_m, tile_i), jnp.float32),   # acc_u
+            pltpu.VMEM((tile_m, tile_n), jnp.float32),   # acc_d
+            pltpu.VMEM((tile_m, max(rank_gu, 8)), jnp.float32),  # xa_gu
+            pltpu.VMEM((tile_m, max(rank_d, 8)), jnp.float32),   # xa_d
+            pltpu.VMEM((tile_m, I), jnp.float32),        # intermediate
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_acc, transcendentals=M * I),
+        interpret=interpret,
+    )(*args)
+
+
+def _mlp_kernel_variant(gated, rank_gu, rank_d, has_bias):
+    """Adapter threading only the present refs into the full signature."""
+
+    def k_fn(*refs, **kw):
+        refs = list(refs)
+        idx = 0
+
+        def take(present):
+            nonlocal idx
+            if present:
+                r = refs[idx]
+                idx += 1
+                return r
+            return None
+
+        x = take(True)
+        pg, eg = take(True), take(True)
+        pu, eu = take(gated), take(gated)
+        pd, ed = take(True), take(True)
+        agu = take(rank_gu > 0)
+        bg = take(rank_gu > 0)
+        bu = take(rank_gu > 0 and gated)
+        ad = take(rank_d > 0)
+        bd = take(rank_d > 0)
+        biasg = take(has_bias)
+        biasu = take(has_bias and gated)
+        biasd = take(has_bias)
+        o_ref = refs[idx]
+        acc_g, acc_u, acc_d, xa_gu, xa_d, inter = refs[idx + 1:idx + 7]
+        return _mlp_kernel(
+            x, pg, eg, pu, eu, pd, ed, agu, bg, bu, ad, bd,
+            biasg, biasu, biasd, o_ref,
+            acc_g, acc_u, acc_d, xa_gu, xa_d, inter, **kw,
+        )
+
+    return k_fn
+
+
+def mlp_w4_fused(
+    x_q: jnp.ndarray,  # (M, K) activation-quantized input (exact in bf16)
+    prep: dict,
+    *,
+    tile_m: int = 128,
+    tile_i: int = 512,
+    tile_n: int = 512,
+    act_width: int | None = 8,
+    quant_xa_width: int | None = 8,
+    quant_out_width: int | None = 8,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Run the fused MLP. ``prep`` from :func:`prepare_mlp_weights`.
+    ``act_width`` is the down-projection's activation quantizer width applied
+    to the intermediate (None disables)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fmt: MXFormat = prep["fmt"]
+    M, K = x_q.shape
+    I = prep["pg"].shape[1]
+    N = prep["pd"].shape[1]
+
+    tm = min(tile_m, M) if M >= 8 else 8
+    if M % tm != 0 or M < 8:
+        pad = -M % tm if M >= 8 else 8 - M
+        x_q = jnp.pad(x_q, ((0, pad), (0, 0)))
+    if x_q.shape[0] != tm:
+        # multiple M tiles would need an (m,)-indexed intermediate scratch;
+        # fall back upstream for large batches
+        raise ValueError(
+            f"mlp_w4_fused handles a single M tile (M<= {tile_m}); got {M}"
+        )
+    ti = min(tile_i, I)
+    tn = min(tile_n, N)
+    assert I % ti == 0 and N % tn == 0, (I, ti, N, tn)
+
+    a_gu = prep["a_gu"]
+    rank_gu = 0 if a_gu is None else a_gu.shape[1]
+    a_d = prep["a_d"]
+    rank_d = 0 if a_d is None else a_d.shape[1]
+    has_bias = prep["bias_g"] is not None
+
+    out = _mlp_call(
+        x_q, prep["pg"], prep["eg"], prep["pu"], prep["eu"],
+        prep["pd"], prep["ed"], a_gu, prep["b_g"], prep["b_u"],
+        a_d, prep["b_d"], prep["bias_g"], prep["bias_u"], prep["bias_d"],
+        mb=fmt.mantissa_bits, group=fmt.group_size, gated=prep["gated"],
+        act_width=act_width, tile_m=tm, tile_i=ti, tile_n=tn,
+        tile_k=prep["tile_k"], tile_k2=prep["tile_k2"],
+        rank_gu=rank_gu, rank_d=rank_d, has_bias=has_bias,
+        quant_xa_mb=None if quant_xa_width is None else quant_xa_width - 1,
+        quant_out_mb=None if quant_out_width is None else quant_out_width - 1,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    return out[:M]

@@ -46,6 +46,10 @@ class QLinearConfig:
     is_ptq: bool = True
     is_lqer: bool = False
     rank: int = 0
+    # raw resolved config dicts (not hashed/compared — the callables above
+    # are memoized per config, so identity compare covers equality); kept so
+    # the serving backend can check kernel-eligibility of a format
+    x_cfg: dict | None = dataclasses.field(default=None, compare=False)
 
     @staticmethod
     def from_q_config(q_config: dict, l_config: dict | None = None) -> "QLinearConfig":
@@ -75,6 +79,7 @@ class QLinearConfig:
             is_ptq=bool(q_config.get("is_ptq", False)),
             is_lqer=is_lqer,
             rank=rank,
+            x_cfg=x_cfg,
         )
 
 

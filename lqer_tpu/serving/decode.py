@@ -61,6 +61,27 @@ def _lin_group(x, params, layer_prefix, fused_rel, member_rels, qcs,
     ]
 
 
+def _mlp_fused_or_none(x, layer_prefix, qc_first, qc_down, backend,
+                       interpret=None, backend_meta=None, backend_slice=None):
+    """Whole-MLP megakernel when the backend packed it (``{p}.mlp_fused``):
+    gate|up GEMMs, activation, act-quant and down GEMM in ONE launch.
+    Returns None when not packed (caller runs the per-linear path).
+    Scan bodies pass (backend_meta, backend_slice) instead of ``backend``."""
+    key = f"{layer_prefix}.mlp_fused" if layer_prefix else "mlp_fused"
+    if backend_slice is not None and key in backend_slice:
+        from .pallas_backend import serving_mlp
+
+        one = {"arrays": {key: backend_slice[key]},
+               "meta": {key: backend_meta[key]}}
+        return serving_mlp(x, key, one, qc_first, qc_down)
+    if backend is not None and key in backend.get("meta", {}):
+        from .pallas_backend import serving_mlp
+
+        return serving_mlp(x, key, backend, qc_first, qc_down,
+                           interpret=interpret)
+    return None
+
+
 def _heads(y, num_heads):
     b, s, _ = y.shape
     return y.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)
@@ -196,15 +217,19 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         residual = h
         hn = rms_norm(h, _m(params, f"{p}.post_attention_layernorm"),
                       cfg.rms_norm_eps)
-        gate, up = _lin_group(
-            hn, params, p, "mlp.gateup_proj",
-            ("mlp.gate_proj", "mlp.up_proj"),
-            (q["gate_proj"], q["up_proj"]),
-            backend, interpret,
-        )
-        h = residual + _lin(jax.nn.silu(gate) * up, params,
-                            f"{p}.mlp.down_proj", q["down_proj"],
-                            backend, interpret)
+        y = _mlp_fused_or_none(hn, p, q["gate_proj"], q["down_proj"],
+                               backend, interpret)
+        if y is None:
+            gate, up = _lin_group(
+                hn, params, p, "mlp.gateup_proj",
+                ("mlp.gate_proj", "mlp.up_proj"),
+                (q["gate_proj"], q["up_proj"]),
+                backend, interpret,
+            )
+            y = _lin(jax.nn.silu(gate) * up, params,
+                     f"{p}.mlp.down_proj", q["down_proj"],
+                     backend, interpret)
+        h = residual + y
 
     h = rms_norm(h, llama_mod._mod(params, "model.norm"), cfg.rms_norm_eps)
     lm_head = params.get("lm_head.weight", embed)
@@ -260,10 +285,12 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         residual = h
         hn = layer_norm(h, _m(params, f"{p}.final_layer_norm")) \
             if cfg.do_layer_norm_before else h
-        hn = _lin(hn, params, f"{p}.fc1", q["fc1"], backend, interpret)
-        hn = jax.nn.relu(hn)
-        hn = _lin(hn, params, f"{p}.fc2", q["fc2"], backend, interpret)
-        h = residual + hn
+        y = _mlp_fused_or_none(hn, p, q["fc1"], q["fc2"], backend, interpret)
+        if y is None:
+            y = _lin(hn, params, f"{p}.fc1", q["fc1"], backend, interpret)
+            y = jax.nn.relu(y)
+            y = _lin(y, params, f"{p}.fc2", q["fc2"], backend, interpret)
+        h = residual + y
         if not cfg.do_layer_norm_before:
             h = layer_norm(h, _m(params, f"{p}.final_layer_norm"))
 
@@ -479,14 +506,18 @@ def llama_step_scan(
         residual = h
         hn = rms_norm(h, rel_mod(sl, "post_attention_layernorm"),
                       cfg.rms_norm_eps)
-        gate, up = _lin_group_slice(
-            hn, sl, "mlp.gateup_proj",
-            ("mlp.gate_proj", "mlp.up_proj"),
-            (q["gate_proj"], q["up_proj"]),
-            b_meta, bsl,
-        )
-        h = residual + _lin_slice(jax.nn.silu(gate) * up, sl,
-                                  "mlp.down_proj", q["down_proj"], b_meta, bsl)
+        y = _mlp_fused_or_none(hn, None, q["gate_proj"], q["down_proj"],
+                               None, backend_meta=b_meta, backend_slice=bsl)
+        if y is None:
+            gate, up = _lin_group_slice(
+                hn, sl, "mlp.gateup_proj",
+                ("mlp.gate_proj", "mlp.up_proj"),
+                (q["gate_proj"], q["up_proj"]),
+                b_meta, bsl,
+            )
+            y = _lin_slice(jax.nn.silu(gate) * up, sl,
+                           "mlp.down_proj", q["down_proj"], b_meta, bsl)
+        h = residual + y
         return h, new_sl
 
     b_arrays = None if backend_stacked is None else backend_stacked["arrays"]
@@ -570,10 +601,13 @@ def opt_step_scan(
         residual = h
         hn = layer_norm(h, rel_mod(sl, "final_layer_norm")) \
             if cfg.do_layer_norm_before else h
-        hn = _lin_slice(hn, sl, "fc1", q["fc1"], b_meta, bsl)
-        hn = jax.nn.relu(hn)
-        hn = _lin_slice(hn, sl, "fc2", q["fc2"], b_meta, bsl)
-        h = residual + hn
+        y = _mlp_fused_or_none(hn, None, q["fc1"], q["fc2"], None,
+                               backend_meta=b_meta, backend_slice=bsl)
+        if y is None:
+            y = _lin_slice(hn, sl, "fc1", q["fc1"], b_meta, bsl)
+            y = jax.nn.relu(y)
+            y = _lin_slice(y, sl, "fc2", q["fc2"], b_meta, bsl)
+        h = residual + y
         if not cfg.do_layer_norm_before:
             h = layer_norm(h, rel_mod(sl, "final_layer_norm"))
         return h, new_sl

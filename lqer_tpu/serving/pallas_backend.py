@@ -44,6 +44,44 @@ def fuse_groups_for(cfg):
     return _FUSE_GROUPS_OPT if cfg.arch == "opt" else _FUSE_GROUPS_LLAMA
 
 
+def mlp_members_for(cfg):
+    """(gate, up, down) rel-prefixes of the MLP megakernel's linears; up is
+    None for the un-gated (OPT relu) variant."""
+    if cfg.arch == "opt":
+        return ("fc1", None, "fc2")
+    return ("mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
+
+
+def _is_mx8_act(x_cfg: dict | None) -> bool:
+    """The kernel's in-VMEM activation re-quantization implements the
+    canonical MXINT8 format: block_fp, [1,16] groups along features,
+    8-bit exponent, no bias override."""
+    return bool(
+        x_cfg
+        and x_cfg.get("name") == "block_fp"
+        and list(x_cfg.get("block_size", ())) == [1, 16]
+        and x_cfg.get("skip_first_dim", False)
+        and x_cfg.get("exponent_width") == 8
+        and x_cfg.get("exponent_bias") is None
+    )
+
+
+def _mlp_fusable(layer_prefix, cfg, params, layer_qcfg, tile_k) -> bool:
+    gate_rel, up_rel, down_rel = mlp_members_for(cfg)
+    members = [gate_rel] + ([up_rel] if up_rel else [])
+    if not _fusable(layer_prefix, members + [down_rel], params, layer_qcfg):
+        return False
+    qc_down = models._proj_qcfg(layer_qcfg, down_rel.rsplit(".", 1)[-1])
+    if not _is_mx8_act(qc_down.x_cfg):
+        return False
+    # down's contraction dim (=I) must tile, and so must its rank
+    w_down = params[f"{layer_prefix}.{down_rel}.weight"]
+    if w_down.shape[1] % tile_k != 0 or w_down.shape[0] % 128 != 0:
+        return False
+    w_gate = params[f"{layer_prefix}.{gate_rel}.weight"]
+    return w_gate.shape[0] % 128 == 0
+
+
 def _pick_tile_n(n: int) -> int:
     for tn in (512, 256, 128):
         if n % tn == 0:
@@ -117,6 +155,7 @@ def prepare_serving_params(
     layer_qcfgs,
     tile_k: int = TILE_K,
     fuse_projections: bool = True,
+    fuse_mlp: bool = True,
 ) -> dict:
     """Pack every quantized linear: {module_prefix: prep dict}.
 
@@ -160,9 +199,15 @@ def prepare_serving_params(
 
     for i in range(cfg.num_hidden_layers):
         fused_members: set[str] = set()
+        lp = _layer_prefix(cfg, i)
+        if fuse_mlp and _mlp_fusable(lp, cfg, params, layer_qcfgs[i], tile_k):
+            key, members = _pack_mlp(lp, cfg, params, layer_qcfgs[i],
+                                     tile_k, arrays, meta)
+            fused_members.update(members)
         if fuse_projections:
-            lp = _layer_prefix(cfg, i)
             for fused_rel, member_rels in fuse_groups_for(cfg):
+                if any(f"{lp}.{m}" in fused_members for m in member_rels):
+                    continue
                 if not _fusable(lp, member_rels, params, layer_qcfgs[i]):
                     continue
                 w, a, b, bias, splits = _fuse_members(
@@ -190,6 +235,113 @@ def _layer_prefix(cfg, i: int) -> str:
 
     mod = opt_mod if cfg.arch == "opt" else llama_mod
     return mod.layer_prefix(i)
+
+
+def _pack_mlp(lp, cfg, params, layer_qcfg, tile_k, arrays, meta):
+    """Pack a layer's whole MLP for the megakernel under ``{lp}.mlp_fused``
+    (gate/up/down + low-rank + biases in one prep; ONE launch at decode)."""
+    from ..ops.pallas.mlp_fused import prepare_mlp_weights
+
+    gate_rel, up_rel, down_rel = mlp_members_for(cfg)
+    qc_gate = models._proj_qcfg(layer_qcfg, gate_rel.rsplit(".", 1)[-1])
+    qc_down = models._proj_qcfg(layer_qcfg, down_rel.rsplit(".", 1)[-1])
+
+    def gp(rel, suffix):
+        return params.get(f"{lp}.{rel}.{suffix}")
+
+    def qbias(rel, qc):
+        b = gp(rel, "bias")
+        return None if b is None else qc.b_quantizer(b)
+
+    qc_up = (models._proj_qcfg(layer_qcfg, up_rel.rsplit(".", 1)[-1])
+             if up_rel else None)
+    prep = prepare_mlp_weights(
+        gp(gate_rel, "weight"),
+        gp(up_rel, "weight") if up_rel else None,
+        gp(down_rel, "weight"),
+        a_gate=gp(gate_rel, "A"), b_gate=gp(gate_rel, "B"),
+        a_up=gp(up_rel, "A") if up_rel else None,
+        b_up=gp(up_rel, "B") if up_rel else None,
+        a_down=gp(down_rel, "A"), b_down=gp(down_rel, "B"),
+        bias_gate=qbias(gate_rel, qc_gate),
+        bias_up=qbias(up_rel, qc_up) if up_rel else None,
+        bias_down=qbias(down_rel, qc_down),
+        fmt=MXINT4, tile_k=tile_k, tile_k2=tile_k,
+    )
+    key = f"{lp}.mlp_fused"
+    static = {"gated", "fmt", "tile_k", "tile_k2"}
+    arrays[key] = {k: v for k, v in prep.items() if k not in static}
+    meta[key] = {
+        **{k: prep[k] for k in static},
+        "kind": "mlp",
+        "tile_i": _pick_tile_n(prep["pg"].shape[1]),
+        "tile_n": _pick_tile_n(prep["pd"].shape[1]),
+        "act_width": int(qc_down.x_cfg["width"]),
+    }
+    members = {f"{lp}.{gate_rel}", f"{lp}.{down_rel}"}
+    if up_rel:
+        members.add(f"{lp}.{up_rel}")
+    return key, members
+
+
+def serving_mlp(
+    x: jnp.ndarray,  # (b, s, K)
+    key: str,
+    backend: dict,
+    qc_first,
+    qc_down,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Run a layer's whole MLP through the megakernel (one launch). Falls
+    back to per-linear fused launches when the token count exceeds one M
+    tile (the megakernel keeps the (M, I) intermediate in VMEM)."""
+    from ..ops.pallas.mlp_fused import mlp_w4_fused
+
+    prep = dict(backend["arrays"][key])
+    prep.update(backend["meta"][key])
+    b, s, k = x.shape
+    x_q = qc_first.x_quantizer(x).astype(jnp.bfloat16).reshape(b * s, k)
+    if b * s <= 128:
+        y = mlp_w4_fused(
+            x_q, prep, tile_m=128, tile_i=prep["tile_i"],
+            tile_n=prep["tile_n"], act_width=prep["act_width"],
+            out_dtype=jnp.float32, interpret=interpret,
+        )
+    else:  # prefill: per-linear launches reusing the same packed arrays
+        y = _mlp_unfused(x_q, prep, qc_down, interpret)
+    return y.reshape(b, s, -1).astype(x.dtype)
+
+
+def _mlp_unfused(x_q, prep, qc_down, interpret):
+    import jax
+
+    rank = 0 if prep["a_gu"] is None else prep["a_gu"].shape[1]
+    half = rank // 2 if prep["gated"] else rank
+
+    def sub(packed, exps, a, b_, bias, tk):
+        return {"packed": packed, "exps": exps, "a": a, "b": b_,
+                "bias": bias, "tile_k": tk, "fmt": prep["fmt"]}
+
+    g = qlinear_w4_fused(
+        x_q, sub(prep["pg"], prep["eg"],
+                 None if rank == 0 else prep["a_gu"][:, :half],
+                 prep["b_g"], prep["bias_g"], prep["tile_k"]),
+        tile_n=prep["tile_i"], interpret=interpret)
+    if prep["gated"]:
+        u = qlinear_w4_fused(
+            x_q, sub(prep["pu"], prep["eu"],
+                     None if rank == 0 else prep["a_gu"][:, half:],
+                     prep["b_u"], prep["bias_u"], prep["tile_k"]),
+            tile_n=prep["tile_i"], interpret=interpret)
+        h = jax.nn.silu(g) * u
+    else:
+        h = jnp.maximum(g, 0.0)
+    h_q = qc_down.x_quantizer(h).astype(jnp.bfloat16)
+    return qlinear_w4_fused(
+        h_q, sub(prep["pd"], prep["ed"], prep["a_d"], prep["b_d"],
+                 prep["bias_d"], prep["tile_k2"]),
+        tile_n=prep["tile_n"], interpret=interpret)
 
 
 def serving_linear(

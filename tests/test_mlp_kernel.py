@@ -1,0 +1,99 @@
+"""MLP megakernel (gate|up → act → act-quant → down in one pallas_call) vs
+the emulated two-stage math. Interpret mode on CPU; the real-TPU run is part
+of the verify recipe."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lqer_tpu.ops.pallas.dequant_gemm import qlinear_w4_fused_emulation
+from lqer_tpu.ops.pallas.mlp_fused import mlp_w4_fused, prepare_mlp_weights
+from lqer_tpu.ops.quantizers import block_fp_quantizer
+
+
+def _xq(key, m, k):
+    x = jax.random.normal(key, (m, k))
+    return block_fp_quantizer(
+        x, width=8, exponent_width=8, block_size=[1, 16], skip_first_dim=True
+    ).astype(jnp.bfloat16)
+
+
+def _ab_q(x):
+    return block_fp_quantizer(jnp.asarray(x, jnp.float32), width=8,
+                              exponent_width=8, block_size=[16, 1],
+                              skip_first_dim=False)
+
+
+def _act_q(h):
+    """The down projection's x_quantizer (MXINT8 groups of 16)."""
+    return block_fp_quantizer(h, width=8, exponent_width=8,
+                              block_size=[1, 16], skip_first_dim=True)
+
+
+def _emulate(x_q, wg, wu, wd, abs_, biases, gated):
+    a_g, b_g, a_u, b_u, a_d, b_d = abs_
+    bias_g, bias_u, bias_d = biases
+    y_g = qlinear_w4_fused_emulation(x_q, wg, a_g, b_g, bias_g)
+    if gated:
+        y_u = qlinear_w4_fused_emulation(x_q, wu, a_u, b_u, bias_u)
+        h = jax.nn.silu(y_g) * y_u
+    else:
+        h = jnp.maximum(y_g, 0.0)
+    h_q = _act_q(h).astype(jnp.bfloat16).astype(jnp.float32)
+    return qlinear_w4_fused_emulation(h_q, wd, a_d, b_d, bias_d)
+
+
+@pytest.mark.parametrize("gated,rank,bias", [
+    (True, 32, False),   # llama MLP with LQER correction
+    (True, 0, False),    # llama MLP, no correction
+    (False, 32, True),   # OPT fc1/relu/fc2 with biases + correction
+])
+def test_mlp_fused_matches_emulation(gated, rank, bias):
+    rng = np.random.default_rng(0)
+    M, K, I, N = 8, 256, 512, 256
+    key = jax.random.PRNGKey(1)
+    x_q = _xq(key, M, K)
+
+    def w(o, i):
+        return jnp.asarray(rng.standard_normal((o, i)) * 0.1, jnp.float32)
+
+    wg, wu, wd = w(I, K), w(I, K) if gated else None, w(N, I)
+    if rank > 0:
+        a_g, b_g = _ab_q(rng.standard_normal((K, rank)) * 0.02), \
+            _ab_q(rng.standard_normal((rank, I)) * 0.02)
+        a_u, b_u = (_ab_q(rng.standard_normal((K, rank)) * 0.02),
+                    _ab_q(rng.standard_normal((rank, I)) * 0.02)) \
+            if gated else (None, None)
+        a_d, b_d = _ab_q(rng.standard_normal((I, rank)) * 0.02), \
+            _ab_q(rng.standard_normal((rank, N)) * 0.02)
+    else:
+        a_g = b_g = a_u = b_u = a_d = b_d = None
+    if bias:
+        bias_g = jnp.asarray(rng.standard_normal(I) * 0.1, jnp.float32)
+        bias_u = jnp.asarray(rng.standard_normal(I) * 0.1, jnp.float32) \
+            if gated else None
+        bias_d = jnp.asarray(rng.standard_normal(N) * 0.1, jnp.float32)
+    else:
+        bias_g = bias_u = bias_d = None
+
+    prep = prepare_mlp_weights(
+        wg, wu, wd, a_gate=a_g, b_gate=b_g, a_up=a_u, b_up=b_u,
+        a_down=a_d, b_down=b_d, bias_gate=bias_g, bias_up=bias_u,
+        bias_down=bias_d,
+    )
+    out = mlp_w4_fused(x_q, prep, tile_i=128, tile_n=128, interpret=True)
+    ref = _emulate(x_q, wg, wu, wd, (a_g, b_g, a_u, b_u, a_d, b_d),
+                   (bias_g, bias_u, bias_d), gated)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_mlp_fused_rejects_large_batch():
+    rng = np.random.default_rng(1)
+    wg = jnp.asarray(rng.standard_normal((512, 256)) * 0.1, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((256, 512)) * 0.1, jnp.float32)
+    prep = prepare_mlp_weights(wg, None, wd)
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    with pytest.raises(ValueError):
+        mlp_w4_fused(x, prep, tile_m=128, interpret=True)

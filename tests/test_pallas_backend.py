@@ -61,15 +61,21 @@ def test_pallas_step_matches_emulation():
     # serving prep packs from the ORIGINAL weights (bit-exact re-derivation
     # of W_q); the emulated reference path uses the PTQ'd params
     backend_unfused = prepare_serving_params(params, cfg, qcfgs,
-                                             fuse_projections=False)
+                                             fuse_projections=False,
+                                             fuse_mlp=False)
     assert len(backend_unfused["meta"]) == 7
-    # default prep fuses q|k|v and gate|up into single launches
+    # default prep fuses q|k|v into one launch and the whole MLP into the
+    # megakernel: 7 -> 3 launches per layer
     backend = prepare_serving_params(params, cfg, qcfgs)
-    assert len(backend["meta"]) == 4
+    assert len(backend["meta"]) == 3
     p0 = "model.layers.0"
     assert backend["meta"][f"{p0}.self_attn.qkv_proj"]["splits"] == (
         256, 128, 128)
-    assert backend["meta"][f"{p0}.mlp.gateup_proj"]["splits"] == (256, 256)
+    assert backend["meta"][f"{p0}.mlp_fused"]["kind"] == "mlp"
+    # with the megakernel off, gate|up still fuse pairwise
+    backend_nomlp = prepare_serving_params(params, cfg, qcfgs, fuse_mlp=False)
+    assert backend_nomlp["meta"][f"{p0}.mlp.gateup_proj"]["splits"] == (
+        256, 256)
     params = models.prepare_ptq(params, cfg, qcfgs)
 
     ids = jnp.asarray([[3, 17, 42, 9]], dtype=jnp.int32)
@@ -86,6 +92,10 @@ def test_pallas_step_matches_emulation():
     unfused_logits, _ = model_step(params, ids, cache_c, pos, cfg, qcfgs,
                                    backend=backend_unfused, interpret=True)
 
+    cache_d = make_cache(cfg, 1, 32, dtype=jnp.float32)
+    nomlp_logits, _ = model_step(params, ids, cache_d, pos, cfg, qcfgs,
+                                 backend=backend_nomlp, interpret=True)
+
     ref = np.asarray(ref_logits)
     out = np.asarray(out_logits)
     # bf16 operand rounding is exact for MXINT values; differences come from
@@ -101,6 +111,8 @@ def test_pallas_step_matches_emulation():
     np.testing.assert_allclose(
         np.asarray(unfused_logits), out, atol=1e-5, rtol=1e-5
     )
+    np.testing.assert_allclose(np.asarray(nomlp_logits), out,
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_engine_with_pallas_backend():

@@ -139,10 +139,16 @@ def main():
 
     iters = 50 if on_tpu else 2
     repeats = REPEATS if on_tpu else 1
+    trace_dir = os.environ.get("BENCH_TRACE")  # profiler capture (xprof)
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t_fused_runs, t_dense_runs = [], []
     for _ in range(repeats):
         t_fused_runs.append(_bench(layer_fused, iters=iters) * LAYERS)
         t_dense_runs.append(_bench(layer_dense, iters=iters) * LAYERS)
+    if trace_dir:
+        jax.profiler.stop_trace()
+        print(f"[bench] profiler trace written to {trace_dir}", file=sys.stderr)
     # best-of-N: the shared chip sees sustained contention windows (observed
     # spreads of 7x within a minute); the minimum is the least-contended
     # sample and the only stable estimator of the kernel's own speed.

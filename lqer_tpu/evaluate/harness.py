@@ -110,6 +110,7 @@ class JaxCausalLM(LM):
                 out.append(text)
                 continue
             generated = []
+            text = ""
             for _ in range(max_gen):
                 window = (ids + generated)[-self.max_length :]
                 arr = jnp.asarray(np.array(window, dtype=np.int32))[None, :]
@@ -122,7 +123,7 @@ class JaxCausalLM(LM):
                         if u in text:
                             text = text.split(u)[0]
                     break
-            out.append(self.tokenizer.decode(generated))
+            out.append(text)
         return out
 
 
@@ -138,12 +139,17 @@ def evaluate_harness_downstream(
     num_fewshot: int = 0,
     batch_size: int | None = None,
     max_length: int = 2048,
+    engine=None,
 ) -> dict:
-    """`lm_eval.simple_evaluate` over our model (`runners.py:313-319`)."""
+    """`lm_eval.simple_evaluate` over our model (`runners.py:313-319`).
+
+    ``engine``: optional `serving.DecodeEngine` for generation tasks —
+    `generate_until` then decodes incrementally through the KV cache instead
+    of a full re-forward per token."""
     if not HAS_LM_EVAL:
         raise ImportError(f"lm_eval is not installed: {_IMPORT_ERROR}")
     model = JaxCausalLM(forward_fn, tokenizer, max_length=max_length,
-                        batch_size=batch_size or 1)
+                        batch_size=batch_size or 1, engine=engine)
     return lm_eval.simple_evaluate(
         model=model, tasks=tasks, num_fewshot=num_fewshot
     )

@@ -302,6 +302,15 @@ def run_evaluate_harness_downstream(config: dict, project_path: Path) -> dict:
         config, eval_config.get("disable_lqer", False), dtype
     )
     tokenizer = _get_tokenizer(config)
+    # generation tasks decode through the KV-cache engine (one forward per
+    # token) instead of the O(s) full re-forward loop
+    from .serving import DecodeEngine
+
+    engine = DecodeEngine(
+        params, cfg, qcfgs, num_slots=1,
+        max_len=eval_hd_config.get("max_length", 2048),
+        cache_dtype=dtype,
+    )
     results = evaluate_harness_downstream(
         fwd,
         tokenizer,
@@ -309,6 +318,7 @@ def run_evaluate_harness_downstream(config: dict, project_path: Path) -> dict:
         num_fewshot=eval_hd_config.get("num_fewshot", 0),
         batch_size=eval_hd_config.get("batch_size", None),
         max_length=eval_hd_config.get("max_length", 2048),
+        engine=engine,
     )
     save_path = project_path / "harness_results.json"
     if save_path.exists():

@@ -41,6 +41,8 @@ def main(argv=None):
                     help="KV cache storage (mxint8 = 8.5 bits/value)")
     ap.add_argument("--pallas", action="store_true",
                     help="route linears through the fused W4A8 kernel")
+    ap.add_argument("--trace-dir", type=str, default=None,
+                    help="capture a jax.profiler trace of the run (xprof)")
     args = ap.parse_args(argv)
 
     config = load_config(args.config)
@@ -91,9 +93,18 @@ def main(argv=None):
                 eos_token_id=getattr(tokenizer, "eos_token_id", None))
         for p in prompts
     ]
+    if args.trace_dir:
+        import jax
+
+        jax.profiler.start_trace(args.trace_dir)
     t0 = time.perf_counter()
     engine.run(reqs)
     dt = time.perf_counter() - t0
+    if args.trace_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", args.trace_dir)
     total = sum(len(r.output_ids) for r in reqs)
     for i, r in enumerate(reqs):
         if tokenizer:

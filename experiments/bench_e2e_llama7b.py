@@ -80,14 +80,17 @@ def build_7b_backend_and_params(cfg, rank: int, seed: int = 0):
         params[f"{p}.post_attention_layernorm.weight"] = jnp.ones(
             (h,), jnp.float32)
 
+        # pack through the one-layer view: present this layer's weights
+        # under the layer-0 prefix, then relabel the packed keys back
+        p0 = "model.layers.0"
+        as_l0 = {k.replace(p, p0, 1): v for k, v in layer_params.items()}
         one = prepare_serving_params(
-            layer_params | {k: v for k, v in params.items()
-                            if k.startswith(p)},
-            _OneLayerView(cfg, i), [qcfgs[i]] if qcfgs else None,
+            as_l0, _OneLayerView(cfg), [qcfgs[i]] if qcfgs else None,
         )
-        arrays.update(one["arrays"])
-        meta.update(one["meta"])
-        del layer_params
+        arrays.update({k.replace(p0, p, 1): v
+                       for k, v in one["arrays"].items()})
+        meta.update({k.replace(p0, p, 1): v for k, v in one["meta"].items()})
+        del layer_params, as_l0
         if i % 8 == 0:
             logger.info("packed layer %d/%d (%.1fs)", i + 1,
                         cfg.num_hidden_layers, time.perf_counter() - t0)
@@ -95,12 +98,11 @@ def build_7b_backend_and_params(cfg, rank: int, seed: int = 0):
 
 
 class _OneLayerView:
-    """cfg proxy that makes prepare_serving_params see exactly one layer
-    (layer i), so packing streams layer-by-layer."""
+    """cfg proxy that makes prepare_serving_params see exactly one layer,
+    so packing streams layer-by-layer (keys relabeled by the caller)."""
 
-    def __init__(self, cfg, i):
+    def __init__(self, cfg):
         self._cfg = cfg
-        self._i = i
 
     def __getattr__(self, name):
         if name == "num_hidden_layers":

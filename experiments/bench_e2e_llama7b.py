@@ -43,14 +43,14 @@ logger = get_logger("bench_e2e")
 def build_7b_backend_and_params(cfg, rank: int, seed: int = 0):
     """Layer-streamed packing: random fp32 layer weights -> packed backend,
     freed immediately. Params keep only embeddings/norms/head."""
-    rng = np.random.default_rng(seed)
     h, inter = cfg.hidden_size, cfg.intermediate_size
     kv = cfg.kv_heads * cfg.head_dim
 
     params = {
-        "model.embed_tokens.weight": jnp.asarray(
-            rng.standard_normal((cfg.vocab_size, h)) * 0.02, jnp.bfloat16
-        ).astype(jnp.float32),
+        "model.embed_tokens.weight": jax.jit(
+            lambda k: jax.random.normal(
+                k, (cfg.vocab_size, h), jnp.float32) * 0.02
+        )(jax.random.PRNGKey(seed)),
         "model.norm.weight": jnp.ones((h,), jnp.float32),
     }
     qcfgs = models.quantize_model(cfg, Q_CONFIG, {"linear": {"rank": rank}})
@@ -63,34 +63,48 @@ def build_7b_backend_and_params(cfg, rank: int, seed: int = 0):
         "mlp.down_proj": (h, inter),
     }
     t0 = time.perf_counter()
+    p0 = "model.layers.0"
+
+    def gen_l0(key):
+        """Random layer weights generated ON DEVICE (no 800MB/layer host
+        transfer through the tunnel)."""
+        out = {}
+        ks = jax.random.split(key, 3 * len(shapes))
+        for j, (rel, (o, ic)) in enumerate(sorted(shapes.items())):
+            out[f"{p0}.{rel}.weight"] = (
+                jax.random.normal(ks[3 * j], (o, ic), jnp.float32) * 0.01)
+            if rank > 0:
+                out[f"{p0}.{rel}.A"] = jax.random.normal(
+                    ks[3 * j + 1], (ic, rank), jnp.bfloat16
+                ).astype(jnp.float32) * 0.01
+                out[f"{p0}.{rel}.B"] = jax.random.normal(
+                    ks[3 * j + 2], (rank, o), jnp.bfloat16
+                ).astype(jnp.float32) * 0.01
+        return out
+
+    # one jitted generate+pack executable, traced once: the eager path
+    # dispatches hundreds of small ops per layer through the remote tunnel
+    # (~80 s/layer); jitted it is one launch per layer. The static meta is
+    # captured as a trace-time side effect (identical for every layer).
+    meta0: dict = {}
+
+    @jax.jit
+    def pack_layer(key):
+        out = prepare_serving_params(
+            gen_l0(key), _OneLayerView(cfg), [qcfgs[0]] if qcfgs else None,
+        )
+        meta0.update(out["meta"])
+        return out["arrays"]
+
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}"
-        layer_params = {}
-        for rel, (o, ic) in shapes.items():
-            layer_params[f"{p}.{rel}.weight"] = jnp.asarray(
-                rng.standard_normal((o, ic)) * 0.01, jnp.float32)
-            if rank > 0:
-                layer_params[f"{p}.{rel}.A"] = jnp.asarray(
-                    rng.standard_normal((ic, rank)) * 0.01, jnp.bfloat16
-                ).astype(jnp.float32)
-                layer_params[f"{p}.{rel}.B"] = jnp.asarray(
-                    rng.standard_normal((rank, o)) * 0.01, jnp.bfloat16
-                ).astype(jnp.float32)
         params[f"{p}.input_layernorm.weight"] = jnp.ones((h,), jnp.float32)
         params[f"{p}.post_attention_layernorm.weight"] = jnp.ones(
             (h,), jnp.float32)
-
-        # pack through the one-layer view: present this layer's weights
-        # under the layer-0 prefix, then relabel the packed keys back
-        p0 = "model.layers.0"
-        as_l0 = {k.replace(p, p0, 1): v for k, v in layer_params.items()}
-        one = prepare_serving_params(
-            as_l0, _OneLayerView(cfg), [qcfgs[i]] if qcfgs else None,
-        )
-        arrays.update({k.replace(p0, p, 1): v
-                       for k, v in one["arrays"].items()})
-        meta.update({k.replace(p0, p, 1): v for k, v in one["meta"].items()})
-        del layer_params, as_l0
+        packed = jax.block_until_ready(
+            pack_layer(jax.random.PRNGKey(seed * 1000 + i)))
+        arrays.update({k.replace(p0, p, 1): v for k, v in packed.items()})
+        meta.update({k.replace(p0, p, 1): v for k, v in meta0.items()})
         if i % 8 == 0:
             logger.info("packed layer %d/%d (%.1fs)", i + 1,
                         cfg.num_hidden_layers, time.perf_counter() - t0)
@@ -133,7 +147,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--slots", type=int, default=8)
-    ap.add_argument("--max-len", type=int, default=512)
+    ap.add_argument("--max-len", type=int, nargs="+", default=[512],
+                    help="one engine per length, same packed weights — "
+                    "same-process comparison isolates L-scaled cost")
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--rank", type=int, default=32)
     ap.add_argument("--no-lowrank", action="store_true")
@@ -152,47 +168,59 @@ def main():
     n_packed = len(backend["meta"])
     logger.info("backend packed: %d kernel entries", n_packed)
 
-    engine = DecodeEngine(
-        params, cfg, qcfgs, num_slots=args.slots, max_len=args.max_len,
-        cache_dtype=jnp.bfloat16, pallas_backend=backend,
-        scan_layers=not args.no_scan,
-    )
+    results = []
+    for max_len in args.max_len:
+        engine = DecodeEngine(
+            params, cfg, qcfgs, num_slots=args.slots, max_len=max_len,
+            cache_dtype=jnp.bfloat16, pallas_backend=backend,
+            scan_layers=not args.no_scan,
+        )
 
-    # fill every slot, then time pure decode steps via the engine internals
-    prompts = [[(7 * i + 3) % 1000 + 2 for _ in range(16)]
-               for i in range(args.slots)]
-    logger.info("prefilling %d slots (first compile is slow)...", args.slots)
-    t0 = time.perf_counter()
-    for s, ids in enumerate(prompts):
-        engine._admit(Request(prompt_ids=ids, max_new_tokens=10**9), s)
-    logger.info("prefill done in %.1fs", time.perf_counter() - t0)
-
-    tokens = jnp.asarray(np.full(args.slots, 5, np.int32))
-    positions = jnp.asarray(engine.lengths)
-    temps = jnp.zeros((args.slots,), jnp.float32)
-    key = jax.random.PRNGKey(0)
-
-    logger.info("compiling decode step...")
-    t0 = time.perf_counter()
-    toks, cache = engine._decode_step(engine.params, engine.cache, tokens,
-                                      positions, key, temps)
-    jax.block_until_ready(toks)
-    logger.info("decode step compiled+ran in %.1fs", time.perf_counter() - t0)
-
-    lat = []
-    for i in range(args.steps):
+        # fill every slot, then time decode steps via the engine internals
+        prompts = [[(7 * i + 3) % 1000 + 2 for _ in range(16)]
+                   for i in range(args.slots)]
+        logger.info("L=%d: prefilling %d slots (first compile is slow)...",
+                    max_len, args.slots)
         t0 = time.perf_counter()
-        toks, cache = engine._decode_step(engine.params, cache, toks,
-                                          positions + 1 + i, key, temps)
+        for s, ids in enumerate(prompts):
+            engine._admit(Request(prompt_ids=ids, max_new_tokens=10**9), s)
+        logger.info("prefill done in %.1fs", time.perf_counter() - t0)
+
+        tokens = jnp.asarray(np.full(args.slots, 5, np.int32))
+        positions = jnp.asarray(engine.lengths)
+        temps = jnp.zeros((args.slots,), jnp.float32)
+        key = jax.random.PRNGKey(0)
+
+        t0 = time.perf_counter()
+        toks, cache = engine._decode_step(engine.params, engine.cache,
+                                          tokens, positions, key, temps)
         jax.block_until_ready(toks)
-        lat.append(time.perf_counter() - t0)
-    lat_ms = np.array(lat) * 1e3
-    best = float(lat_ms.min())
-    med = float(np.median(lat_ms))
-    print(f"[e2e-7b] layers={cfg.num_hidden_layers} slots={args.slots} "
-          f"rank={rank} decode: best={best:.1f}ms median={med:.1f}ms "
-          f"-> {args.slots / (best / 1e3):.1f} tok/s (best), "
-          f"{args.slots / (med / 1e3):.1f} tok/s (median)")
+        logger.info("decode step compiled+ran in %.1fs",
+                    time.perf_counter() - t0)
+
+        lat = []
+        for i in range(args.steps):
+            t0 = time.perf_counter()
+            toks, cache = engine._decode_step(engine.params, cache, toks,
+                                              positions + 1 + i, key, temps)
+            jax.block_until_ready(toks)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.array(lat) * 1e3
+        best = float(lat_ms.min())
+        med = float(np.median(lat_ms))
+        results.append((max_len, best, med))
+        print(f"[e2e-7b] layers={cfg.num_hidden_layers} slots={args.slots} "
+              f"rank={rank} L={max_len} decode: best={best:.1f}ms "
+              f"median={med:.1f}ms "
+              f"-> {args.slots / (best / 1e3):.1f} tok/s (best), "
+              f"{args.slots / (med / 1e3):.1f} tok/s (median)")
+        del engine, cache
+
+    if len(results) >= 2:
+        (l0, b0, _), (l1, b1, _) = results[0], results[-1]
+        per_layer_us = (b1 - b0) / cfg.num_hidden_layers * 1e3
+        print(f"[e2e-7b] L-scaled cost: ({l1}-{l0}) -> "
+              f"{per_layer_us:.0f} us/layer attention-side at L={l1}")
 
 
 if __name__ == "__main__":

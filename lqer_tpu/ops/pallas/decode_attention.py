@@ -1,0 +1,212 @@
+"""Fused quantized DECODE attention (Pallas): one query token per slot
+against the KV cache, with every operand quantization done in-kernel.
+
+Why: the eager decode path (`serving.decode._attend`) runs the reference's
+quantized matmuls (`llama_decoder.py:259-296` semantics) through XLA, which
+materializes several full-cache-size intermediates per layer each step —
+quantize(K^T) and quantize(V) alone touch ~10x the cache's own bytes.
+Measured on a 7B engine this attention side costs ~1.5 ms/layer at L=512,
+an order of magnitude over the cache-streaming bound. This kernel reads each
+head's K/V once into VMEM and fuses:
+
+    q_q = mx(q)                    # activation format, groups along d
+    s   = q_q · mx_token(K)^T      # K^T quantized per 16-TOKEN group
+    p   = softmax(mask(s * scale)) # exact f32 softmax over the full row
+    p_q = mx(p)                    # groups along the KV axis
+    o   = p_q · mx_d(V)            # V quantized per 16-wide d group
+
+bit-exactly matching the eager path (same shared-exponent formulas incl.
+sign/zero handling; bf16 operand dots with f32 accumulation — MXINT values
+are exact in bf16). GQA indexes the shared KV head in the BlockSpec instead
+of materializing `repeat_kv`.
+
+Layout notes (Mosaic can reshape sublane groups, not lane groups): K arrives
+(L, d) so 16-token groups lie along sublanes; V is transposed in-kernel to
+(d, L) so its 16-wide d groups lie along sublanes too; scores/probs live
+transposed as (L, 1) columns.
+
+Scope: s=1 decode with the fp-dtype cache, L ≤ ~8K VMEM-resident per head.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _quantize_sublane_groups
+
+
+def _quantize_sublane_groups_signed(x, mb, group):
+    """Signed block_fp quantize-dequantize, shared exponent per (group of
+    ``group`` along axis 0, column) — same math as `block_fp_quantizer`
+    (ceil-log2 exponent, round-half-even mantissa, |x|<=1e-8 passthrough)."""
+    L, C = x.shape
+    v = x.reshape(L // group, group, C)
+    bmax = jnp.max(jnp.abs(v), axis=1, keepdims=True)
+    nz_min = jnp.min(jnp.where(bmax != 0, bmax, jnp.inf))
+    fill = jnp.where(jnp.isinf(nz_min), jnp.float32(1.0), nz_min)
+    bmax = jnp.where(bmax == 0, fill, bmax)
+    e = jnp.clip(jnp.ceil(jnp.log2(bmax)), -127.0, 128.0)
+    scale = jnp.exp2(e)
+    shift = float(2**mb)
+    sign = jnp.sign(v + 1e-9)
+    mant = jnp.clip(jnp.round((jnp.abs(v) + 1e-9) / scale * shift),
+                    0, 2**mb - 1)
+    q = sign * scale * (mant / shift)
+    q = jnp.where(jnp.abs(v) <= 1e-8, v, q)
+    return q.reshape(L, C)
+
+
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scaling, scale_query,
+            window, group, q_mb, k_mb, p_mb, v_mb):
+    pos = pos_ref[pl.program_id(0)]
+    q = q_ref[0, 0].astype(jnp.float32)       # (1, d)
+    k = k_ref[0, 0].astype(jnp.float32)       # (L, d)
+    v = v_ref[0, 0].astype(jnp.float32)       # (L, d)
+    L, d = k.shape
+
+    if scale_query:
+        q = q * scaling
+    # activation-quantize q: groups of 16 along d -> transpose to sublanes
+    if q_mb is not None:
+        q = _quantize_sublane_groups_signed(q.T, q_mb, group).T
+    # K^T quantization: 16-TOKEN shared-exponent groups (sublanes of (L, d))
+    if k_mb is not None:
+        k = _quantize_sublane_groups_signed(k, k_mb, group)
+
+    # transposed scores: (L, 1) = K · q^T. f32 operands: the quantized grids
+    # make the products exact either way, and Mosaic rejects mixed
+    # bf16->f32 broadcasts for this (L, 1) shape; the dot is tiny next to
+    # the cache stream.
+    s_t = jax.lax.dot_general(
+        k, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if not scale_query:
+        s_t = s_t * scaling
+
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    ok = kv_idx <= pos
+    if window is not None:
+        ok = jnp.logical_and(ok, kv_idx > pos - window)
+    s_t = jnp.where(ok, s_t, -jnp.inf)
+
+    m = jnp.max(s_t, axis=0, keepdims=True)
+    p = jnp.exp(s_t - m)
+    p = p / jnp.sum(p, axis=0, keepdims=True)      # (L, 1) f32
+
+    if p_mb is not None:
+        p = _quantize_sublane_groups(p, p_mb, group)
+
+    # V quantization: 16-wide d groups -> transpose so they lie on sublanes
+    vt = v.T                                        # (d, L)
+    if v_mb is not None:
+        vt = _quantize_sublane_groups_signed(vt, v_mb, group)
+
+    o_t = jnp.dot(vt, p, preferred_element_type=jnp.float32)  # (d, 1)
+    o_ref[0, 0] = o_t.T.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scaling", "scale_query", "window", "group",
+                     "q_width", "k_width", "p_width", "v_width",
+                     "out_dtype", "interpret"),
+)
+def decode_attention(
+    q: jnp.ndarray,          # (B, H, 1, d) RAW queries (rope applied)
+    k_cache: jnp.ndarray,    # (B, KVH, L, d) cache (any fp dtype)
+    v_cache: jnp.ndarray,    # (B, KVH, L, d)
+    positions: jnp.ndarray,  # (B,) int32 absolute position of the query
+    *,
+    scaling: float,
+    scale_query: bool = False,
+    window: int | None = None,
+    group: int = 16,
+    q_width: int | None = 8,
+    k_width: int | None = 8,
+    p_width: int | None = 8,
+    v_width: int | None = 8,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused decode attention; returns (B, H, 1, d)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, S, d = q.shape
+    assert S == 1, S
+    KVH = k_cache.shape[1]
+    L = k_cache.shape[2]
+    n_rep = H // KVH
+    assert L % group == 0, (L, group)
+
+    kernel = functools.partial(
+        _kernel, scaling=scaling, scale_query=scale_query, window=window,
+        group=group,
+        q_mb=None if q_width is None else q_width - 1,
+        k_mb=None if k_width is None else k_width - 1,
+        p_mb=None if p_width is None else p_width - 1,
+        v_mb=None if v_width is None else v_width - 1,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((B,), lambda b, h: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, d), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L, d), lambda b, h: (b, h // n_rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L, d), lambda b, h: (b, h // n_rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, d), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * d,
+            bytes_accessed=2 * B * KVH * L * d * k_cache.dtype.itemsize,
+            transcendentals=B * H * L,
+        ),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), q, k_cache, v_cache)
+
+
+def supports_decode_attention(attn_cfg) -> bool:
+    """Kernel-eligibility: both attention matmuls use the canonical MXINT
+    activation format ([1,16] groups, block_fp, width <= 9 so values are
+    exact in bf16) on both operands."""
+
+    def mx(c):
+        return bool(
+            c and c.get("name") == "block_fp"
+            and list(c.get("block_size", ())) == [1, 16]
+            and c.get("skip_first_dim", False)
+            and c.get("exponent_width") == 8
+            and c.get("exponent_bias") is None
+            and c.get("width", 99) <= 9
+        )
+
+    qk, pv = attn_cfg.qk_cfg, attn_cfg.pv_cfg
+    if qk is None or pv is None:
+        return False
+    qx = qk.get("x_quantizer") or qk.get("default")
+    kx = qk.get("w_quantizer") or qk.get("default")
+    px = pv.get("x_quantizer") or pv.get("default")
+    vx = pv.get("w_quantizer") or pv.get("default")
+    return all(mx(c) for c in (qx, kx, px, vx))
+
+
+def decode_attention_widths(attn_cfg) -> dict:
+    qk, pv = attn_cfg.qk_cfg, attn_cfg.pv_cfg
+    return {
+        "q_width": (qk.get("x_quantizer") or qk.get("default"))["width"],
+        "k_width": (qk.get("w_quantizer") or qk.get("default"))["width"],
+        "p_width": (pv.get("x_quantizer") or pv.get("default"))["width"],
+        "v_width": (pv.get("w_quantizer") or pv.get("default"))["width"],
+    }

@@ -135,24 +135,48 @@ def qlinear(
     return y
 
 
+def _bf16_exact(cfg: dict | None) -> bool:
+    """True when the quantizer's OUTPUT grid is exactly representable in
+    bfloat16 (<= 8 significand bits): block_fp / integer with width <= 9.
+    Then running the matmul on bf16 operands (f32 accumulation) computes the
+    same products as the f32 matmul — the MXU's native fast path instead of
+    the 3-pass f32 decomposition, and half the operand traffic."""
+    return bool(
+        cfg and cfg.get("name") in ("block_fp", "integer")
+        and cfg.get("width", 99) <= 9
+    )
+
+
+def _resolve_operands(q_config: dict):
+    x_cfg = q_config.get("x_quantizer") or q_config.get("default")
+    y_cfg = q_config.get("w_quantizer") or q_config.get("default")
+    return (make_quantizer(x_cfg), make_quantizer(y_cfg),
+            _bf16_exact(x_cfg) and _bf16_exact(y_cfg))
+
+
 def qmatmul(x: jnp.ndarray, y: jnp.ndarray, q_config: dict) -> jnp.ndarray:
     """Quantize both operands then matmul — used for QK^T and P·V inside
     attention (`quantized_functions/matmul.py:12-37`). jnp.matmul covers both
     the reference's `torch.matmul` and `torch.bmm` (batched) cases."""
-    x_q = make_quantizer(q_config.get("x_quantizer") or q_config.get("default"))(x)
-    y_q = make_quantizer(q_config.get("w_quantizer") or q_config.get("default"))(y)
-    return jnp.matmul(x_q, y_q)
+    return resolve_qmatmul(q_config)(x, y)
 
 
 def resolve_qmatmul(q_config: dict | None) -> Callable:
     """Pre-resolve the operand quantizers of a quantized matmul so the
-    returned callable is cheap to trace."""
+    returned callable is cheap to trace. When both operand grids are exact
+    in bf16 the dot runs on bf16 operands with f32 accumulation (identical
+    products; result cast back to the x operand's dtype)."""
     if not q_config:
         return lambda a, b: jnp.matmul(a, b)
-    xq = make_quantizer(q_config.get("x_quantizer") or q_config.get("default"))
-    yq = make_quantizer(q_config.get("w_quantizer") or q_config.get("default"))
+    xq, yq, bf16_fast = _resolve_operands(q_config)
 
     def fn(a, b):
-        return jnp.matmul(xq(a), yq(b))
+        qa, qb = xq(a), yq(b)
+        if bf16_fast:
+            return jnp.matmul(
+                qa.astype(jnp.bfloat16), qb.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(qa.dtype)
+        return jnp.matmul(qa, qb)
 
     return fn

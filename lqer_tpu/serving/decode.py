@@ -113,6 +113,11 @@ def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query):
     Exact parity with the chunked eval path relies on invalid cache slots
     being zero: K^T quantization groups run along the token axis, and zeros
     neither raise a group's absmax nor requantize to non-zero.
+
+    K/V arrive in the CACHE dtype (bf16 for serving): the quantizers upcast
+    to f32 internally and their output grids are bf16-exact, so skipping the
+    f32 materialization of the whole cache changes nothing numerically while
+    halving the attention-path HBM traffic.
     """
     k_full = repeat_kv(k_l, n_rep)
     v_full = repeat_kv(v_l, n_rep)
@@ -131,6 +136,42 @@ def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query):
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(qh.dtype)
     out = attn_cfg.pv_matmul(probs.reshape(b * h, s, kv_len), v3)
     return out.reshape(b, h, s, d)
+
+
+def _use_attn_kernel(backend, s, attn_cfg, max_len, head_dim) -> bool:
+    """Fused decode-attention eligibility: serving (Pallas backend) decode
+    step with the canonical MXINT attention formats and 16-aligned dims.
+    ``LQER_DISABLE_ATTN_KERNEL=1`` forces the eager path (A/B testing)."""
+    import os
+
+    if os.environ.get("LQER_DISABLE_ATTN_KERNEL"):
+        return False
+    # below ~128 cache slots the eager path's whole-cache quantize is cheap
+    # and the kernel's per-(slot, head) program overhead dominates (measured
+    # crossover on v5e, experiments/bench_e2e_llama7b.py)
+    if backend is None or s != 1 or max_len < 128 or max_len % 16 != 0 \
+            or head_dim % 16 != 0:
+        return False
+    from ..ops.pallas.decode_attention import supports_decode_attention
+
+    return supports_decode_attention(attn_cfg)
+
+
+def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
+                 positions, window, use_kernel, interpret=None):
+    """Decode attention: fused Pallas kernel (per-head cache-resident, all
+    operand quantizations in-kernel) when eligible, else the eager path."""
+    if use_kernel:
+        from ..ops.pallas.decode_attention import (
+            decode_attention, decode_attention_widths,
+        )
+
+        return decode_attention(
+            qh, k_l, v_l, positions, scaling=scaling,
+            scale_query=scale_query, window=window, interpret=interpret,
+            **decode_attention_widths(attn_cfg),
+        )
+    return _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query)
 
 
 def model_step(
@@ -185,9 +226,11 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
     )
     n_rep = cfg.num_attention_heads // cfg.kv_heads
 
+    window = getattr(cfg, "sliding_window", None)
     for i in range(cfg.num_hidden_layers):
         q = layer_qcfgs[i] if layer_qcfgs is not None else FP_LAYER_LLAMA
         attn_cfg = q["attn"]
+        use_ak = _use_attn_kernel(backend, s, attn_cfg, max_len, cfg.head_dim)
         p = llama_mod.layer_prefix(i)
         _m = llama_mod._mod
 
@@ -208,8 +251,8 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
             kh = kh * kv_valid[:, None, :, None]
             vh = vh * kv_valid[:, None, :, None]
         cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
-        attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
-                       attn_cfg, cfg.head_dim**-0.5, n_rep, scale_query=False)
+        attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+                            n_rep, False, positions, window, use_ak, interpret)
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.o_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -255,6 +298,7 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
     for i in range(cfg.num_hidden_layers):
         q = layer_qcfgs[i] if layer_qcfgs is not None else FP_LAYER_OPT
         attn_cfg = q["attn"]
+        use_ak = _use_attn_kernel(backend, s, attn_cfg, max_len, cfg.head_dim)
         p = opt_mod.layer_prefix(i)
         _m = opt_mod._mod
 
@@ -274,8 +318,8 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
             kh = kh * kv_valid[:, None, :, None]
             vh = vh * kv_valid[:, None, :, None]
         cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
-        attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
-                       attn_cfg, cfg.head_dim**-0.5, n_rep=1, scale_query=True)
+        attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+                            1, True, positions, None, use_ak, interpret)
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.out_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -315,9 +359,11 @@ def make_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
 
 
 def _cache_update(cache, layer, kh, vh, positions, compute_dtype):
+    del compute_dtype  # MXINT8 values are exact in bf16; decode to bf16 to
+    # halve the attention-path traffic (quantizers upcast internally)
     if is_quantized_cache(cache):
         return update_layer_cache_quantized(
-            cache, layer, kh, vh, positions, compute_dtype
+            cache, layer, kh, vh, positions, jnp.bfloat16
         )
     return update_layer_cache(cache, layer, kh, vh, positions)
 
@@ -417,8 +463,9 @@ def _scan_cache_update(cache_sl, kh, vh, positions, compute_dtype):
             "v_codes": jax.vmap(upd)(cache_sl["v_codes"], v_c, positions),
             "v_exps": jax.vmap(upd)(cache_sl["v_exps"], v_e, positions),
         }
-        k_l = mx8_decode(new["k_codes"], new["k_exps"], group, compute_dtype)
-        v_l = mx8_decode(new["v_codes"], new["v_exps"], group, compute_dtype)
+        del compute_dtype  # MXINT8 is exact in bf16 (see _cache_update)
+        k_l = mx8_decode(new["k_codes"], new["k_exps"], group, jnp.bfloat16)
+        v_l = mx8_decode(new["v_codes"], new["v_exps"], group, jnp.bfloat16)
         return new, k_l, v_l
     k_l = jax.vmap(upd)(cache_sl["k"], kh, positions)
     v_l = jax.vmap(upd)(cache_sl["v"], vh, positions)
@@ -461,6 +508,8 @@ def llama_step_scan(
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
+    use_ak = _use_attn_kernel(backend_stacked, s, attn_cfg, max_len,
+                              cfg.head_dim)
     embed = rest["model.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     q_abs = _abs_positions(positions, s)
@@ -497,8 +546,9 @@ def llama_step_scan(
         new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
                                               h.dtype)
 
-        attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
-                       attn_cfg, cfg.head_dim**-0.5, n_rep, scale_query=False)
+        attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+                            n_rep, False, positions,
+                            getattr(cfg, "sliding_window", None), use_ak)
         attn = _lin_slice(merge_heads(attn), sl, "self_attn.o_proj",
                           attn_cfg.o_proj, b_meta, bsl)
         h = residual + attn
@@ -555,6 +605,8 @@ def opt_step_scan(
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
+    use_ak = _use_attn_kernel(backend_stacked, s, attn_cfg, max_len,
+                              cfg.head_dim)
     embed = rest["model.decoder.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     if rest.get("model.decoder.project_in.weight") is not None:  # OPT-350m
@@ -590,8 +642,8 @@ def opt_step_scan(
 
         new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
                                               h.dtype)
-        attn = _attend(qh, k_l.astype(h.dtype), v_l.astype(h.dtype), mask,
-                       attn_cfg, cfg.head_dim**-0.5, n_rep=1, scale_query=True)
+        attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+                            1, True, positions, None, use_ak)
         attn = _lin_slice(merge_heads(attn), sl, "self_attn.out_proj",
                           attn_cfg.o_proj, b_meta, bsl)
         h = residual + attn

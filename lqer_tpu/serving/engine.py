@@ -123,7 +123,12 @@ class DecodeEngine:
                 valid_lengths=valid_lengths,
             )
 
-        @jax.jit
+        # cache donation: without it XLA materializes a full copy of the
+        # multi-GB KV cache every step (read + write of the whole cache);
+        # donated, the update happens in place. The engine immediately
+        # rebinds self.cache to the returned buffer, so the consumed input
+        # is never touched again.
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(params, backend_arrays, cache, tokens, positions,
                         key, temps):
             logits, cache = _step_math(
@@ -151,7 +156,8 @@ class DecodeEngine:
         self._decode_step = lambda p, c, t, pos, key, temps: decode_step(
             feed, feed_b, c, t, pos, key, temps)
 
-        @functools.partial(jax.jit, static_argnames=("pad_len",))
+        @functools.partial(jax.jit, static_argnames=("pad_len",),
+                           donate_argnums=(2,))
         def _prefill_impl(params, backend_arrays, cache, ids, slot, length,
                           pad_len):
             # ids: (1, pad_len) right-padded prompt for one slot

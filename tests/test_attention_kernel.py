@@ -93,3 +93,80 @@ def test_padded_seq_tile():
     out = quantized_attention(q, k, v, scale=0.2, tile_s=32, interpret=True)
     assert out.shape == (2, 40, 32)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestDecodeAttention:
+    """Fused decode attention vs the eager `_attend` oracle."""
+
+    def _mk(self, b=2, h=4, kvh=2, L=64, d=32, seed=0):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.standard_normal((b, h, 1, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, kvh, L, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, kvh, L, d)), jnp.float32)
+        pos = jnp.asarray([5, L - 1], jnp.int32)[:b]
+        # zero out slots beyond each sequence's position (engine invariant)
+        valid = jnp.arange(L)[None, None, :, None] <= pos[:, None, None, None]
+        return q, k * valid, v * valid, pos
+
+    def _eager(self, q, k, v, pos, window=None, scale_query=False):
+        from lqer_tpu.serving.decode import _attend, _cache_mask
+        from lqer_tpu.models.config_expand import resolve_model_configs
+
+        qcfg = resolve_model_configs(1, {
+            "linear": {"name": "flexible", "is_ptq": True},
+            "matmul": {"name": "flexible",
+                       "x_quantizer": _mx8(), "w_quantizer": _mx8()},
+        }, None, "llama")[0]["attn"]
+        b, h, _, d = q.shape
+        L = k.shape[2]
+        mask = _cache_mask(pos[:, None], L, jnp.float32, window=window)
+        return _attend(q, k, v, mask, qcfg, d**-0.5,
+                       h // k.shape[1], scale_query), qcfg
+
+    def test_matches_eager(self):
+        from lqer_tpu.ops.pallas.decode_attention import (
+            decode_attention, decode_attention_widths,
+            supports_decode_attention,
+        )
+
+        q, k, v, pos = self._mk()
+        ref, qcfg = self._eager(q, k, v, pos)
+        assert supports_decode_attention(qcfg)
+        out = decode_attention(q, k, v, pos, scaling=q.shape[-1]**-0.5,
+                               interpret=True,
+                               **decode_attention_widths(qcfg))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_matches_eager_window(self):
+        from lqer_tpu.ops.pallas.decode_attention import (
+            decode_attention, decode_attention_widths,
+        )
+
+        q, k, v, pos = self._mk(seed=3)
+        ref, qcfg = self._eager(q, k, v, pos, window=16)
+        out = decode_attention(q, k, v, pos, scaling=q.shape[-1]**-0.5,
+                               window=16, interpret=True,
+                               **decode_attention_widths(qcfg))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_matches_eager_scale_query(self):
+        from lqer_tpu.ops.pallas.decode_attention import (
+            decode_attention, decode_attention_widths,
+        )
+
+        q, k, v, pos = self._mk(h=4, kvh=4, seed=5)
+        ref, qcfg = self._eager(q, k, v, pos, scale_query=True)
+        out = decode_attention(q, k, v, pos, scaling=q.shape[-1]**-0.5,
+                               scale_query=True, interpret=True,
+                               **decode_attention_widths(qcfg))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def _mx8():
+    return {"name": "block_fp", "width": 8, "exponent_width": 8,
+            "exponent_bias": None, "block_size": [1, 16],
+            "skip_first_dim": True}

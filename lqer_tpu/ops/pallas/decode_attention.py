@@ -62,54 +62,64 @@ def _quantize_sublane_groups_signed(x, mb, group):
 
 
 def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scaling, scale_query,
-            window, group, q_mb, k_mb, p_mb, v_mb):
+            window, group, q_mb, k_mb, p_mb, v_mb, n_rep):
+    """One grid program = one SLOT: every head of the slot is processed in
+    a static Python loop over KV heads (n_rep query heads each), so the
+    per-program pipeline overhead amortizes over the whole slot and each KV
+    head streams from HBM exactly once."""
     pos = pos_ref[pl.program_id(0)]
-    q = q_ref[0, 0].astype(jnp.float32)       # (1, d)
-    k = k_ref[0, 0].astype(jnp.float32)       # (L, d)
-    v = v_ref[0, 0].astype(jnp.float32)       # (L, d)
-    L, d = k.shape
+    qs = q_ref[0, :, 0, :].astype(jnp.float32)      # (H, d)
+    H, d = qs.shape
+    L = k_ref.shape[2]
+    kvh = k_ref.shape[1]
 
     if scale_query:
-        q = q * scaling
+        qs = qs * scaling
     # activation-quantize q: groups of 16 along d -> transpose to sublanes
     if q_mb is not None:
-        q = _quantize_sublane_groups_signed(q.T, q_mb, group).T
-    # K^T quantization: 16-TOKEN shared-exponent groups (sublanes of (L, d))
-    if k_mb is not None:
-        k = _quantize_sublane_groups_signed(k, k_mb, group)
-
-    # transposed scores: (L, 1) = K · q^T. f32 operands: the quantized grids
-    # make the products exact either way, and Mosaic rejects mixed
-    # bf16->f32 broadcasts for this (L, 1) shape; the dot is tiny next to
-    # the cache stream.
-    s_t = jax.lax.dot_general(
-        k, q,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if not scale_query:
-        s_t = s_t * scaling
+        qs = _quantize_sublane_groups_signed(qs.T, q_mb, group).T
 
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
     ok = kv_idx <= pos
     if window is not None:
         ok = jnp.logical_and(ok, kv_idx > pos - window)
-    s_t = jnp.where(ok, s_t, -jnp.inf)
 
-    m = jnp.max(s_t, axis=0, keepdims=True)
-    p = jnp.exp(s_t - m)
-    p = p / jnp.sum(p, axis=0, keepdims=True)      # (L, 1) f32
+    outs = []
+    for kv in range(kvh):
+        k = k_ref[0, kv].astype(jnp.float32)        # (L, d)
+        v = v_ref[0, kv].astype(jnp.float32)        # (L, d)
+        q_kv = qs[kv * n_rep:(kv + 1) * n_rep]      # (n_rep, d)
+        # K^T quantization: 16-TOKEN groups (sublanes of (L, d))
+        if k_mb is not None:
+            k = _quantize_sublane_groups_signed(k, k_mb, group)
 
-    if p_mb is not None:
-        p = _quantize_sublane_groups(p, p_mb, group)
+        # transposed scores: (L, n_rep) = K · q^T. f32 operands: quantized
+        # grids make the products exact; Mosaic rejects mixed bf16->f32
+        # broadcasts at these widths, and the dot is tiny vs the stream.
+        s_t = jax.lax.dot_general(
+            k, q_kv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if not scale_query:
+            s_t = s_t * scaling
+        s_t = jnp.where(ok, s_t, -jnp.inf)
 
-    # V quantization: 16-wide d groups -> transpose so they lie on sublanes
-    vt = v.T                                        # (d, L)
-    if v_mb is not None:
-        vt = _quantize_sublane_groups_signed(vt, v_mb, group)
+        m = jnp.max(s_t, axis=0, keepdims=True)
+        p = jnp.exp(s_t - m)
+        p = p / jnp.sum(p, axis=0, keepdims=True)   # (L, n_rep) f32
+        if p_mb is not None:
+            p = _quantize_sublane_groups(p, p_mb, group)
 
-    o_t = jnp.dot(vt, p, preferred_element_type=jnp.float32)  # (d, 1)
-    o_ref[0, 0] = o_t.T.astype(o_ref.dtype)
+        # V quantization: 16-wide d groups -> transpose to sublanes
+        vt = v.T                                     # (d, L)
+        if v_mb is not None:
+            vt = _quantize_sublane_groups_signed(vt, v_mb, group)
+        o_t = jnp.dot(vt, p, preferred_element_type=jnp.float32)  # (d, n_rep)
+        outs.append(o_t.T)                           # (n_rep, d)
+
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -147,7 +157,7 @@ def decode_attention(
 
     kernel = functools.partial(
         _kernel, scaling=scaling, scale_query=scale_query, window=window,
-        group=group,
+        group=group, n_rep=n_rep,
         q_mb=None if q_width is None else q_width - 1,
         k_mb=None if k_width is None else k_width - 1,
         p_mb=None if p_width is None else p_width - 1,
@@ -155,17 +165,17 @@ def decode_attention(
     )
     return pl.pallas_call(
         kernel,
-        grid=(B, H),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((B,), lambda b, h: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, d), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H, 1, d), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L, d), lambda b, h: (b, h // n_rep, 0, 0),
+            pl.BlockSpec((1, KVH, L, d), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L, d), lambda b, h: (b, h // n_rep, 0, 0),
+            pl.BlockSpec((1, KVH, L, d), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, d), lambda b, h: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, H, 1, d), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, 1, d), out_dtype),
         cost_estimate=pl.CostEstimate(

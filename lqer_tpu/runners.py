@@ -227,22 +227,57 @@ def _build_quantized_forward(config: dict, disable_lqer: bool, dtype):
     params = build_params(config, cfg, dtype)
     qcfgs = models.quantize_model(cfg, config.get("q_config"),
                                   config.get("l_config"))
-    params = models.prepare_ptq(params, cfg, qcfgs)
-    if qcfgs is not None and not disable_lqer:
-        ab = load_tensor_dict(config["evaluate"]["low_rank_dict"])
-        params = models.load_low_rank_dict(params, ab, dtype=dtype)
-        logger.info("🔉 Evaluating LQER model")
-    elif qcfgs is not None:
-        logger.info("🔉 LQER disabled. Evaluating WxAy without Ak Bk")
+    use_backend = bool(config.get("evaluate", {}).get("pallas_backend", False))
+    backend = None
+    if use_backend and qcfgs is not None:
+        # pack BEFORE the PTQ pass (prepare_serving_params needs the
+        # original weights) and AFTER A/B load
+        if not disable_lqer:
+            ab = load_tensor_dict(config["evaluate"]["low_rank_dict"])
+            params = models.load_low_rank_dict(params, ab, dtype=dtype)
+            logger.info("🔉 Evaluating LQER model")
+        from .serving.pallas_backend import prepare_serving_params
+
+        backend = prepare_serving_params(params, cfg, qcfgs)
+        params = models.prepare_ptq(params, cfg, qcfgs)
+        logger.info("evaluating through the Pallas serving kernels")
+    else:
+        params = models.prepare_ptq(params, cfg, qcfgs)
+        if qcfgs is not None and not disable_lqer:
+            ab = load_tensor_dict(config["evaluate"]["low_rank_dict"])
+            params = models.load_low_rank_dict(params, ab, dtype=dtype)
+            logger.info("🔉 Evaluating LQER model")
+        elif qcfgs is not None:
+            logger.info("🔉 LQER disabled. Evaluating WxAy without Ak Bk")
 
     fused_attn = bool(config.get("evaluate", {}).get("fused_attention", False))
-    if fused_attn and cfg.arch in ("llama", "mistral"):
+    if backend is not None:
+        # full-sequence forward through the serving kernels: model_step with
+        # a throwaway fresh cache reproduces the eval forward (serving
+        # parity tests pin this) while every linear runs the fused kernels
+        from .serving import make_cache, model_step
+
+        b_meta = backend["meta"]
+
+        @jax.jit
+        def jitted_backend(p, b_arrays, ids):
+            b, s = ids.shape
+            cache = make_cache(cfg, b, s, dtype=jnp.bfloat16)
+            logits, _ = model_step(
+                p, ids, cache, jnp.zeros((b,), jnp.int32), cfg, qcfgs,
+                backend={"arrays": b_arrays, "meta": b_meta},
+            )
+            return logits
+
+        fwd = lambda ids: jitted_backend(params, backend["arrays"], ids)  # noqa: E731
+    elif fused_attn and cfg.arch in ("llama", "mistral"):
         logger.info("using fused Pallas attention")
         jitted = jax.jit(lambda p, ids: models.get_arch_module(cfg).forward(
             p, ids, cfg, qcfgs, fused_attention=True))
+        fwd = lambda ids: jitted(params, ids)  # noqa: E731
     else:
         jitted = jax.jit(lambda p, ids: models.forward(p, ids, cfg, qcfgs))
-    fwd = lambda ids: jitted(params, ids)  # noqa: E731
+        fwd = lambda ids: jitted(params, ids)  # noqa: E731
     return cfg, params, qcfgs, fwd
 
 

@@ -44,3 +44,25 @@ def test_pipeline_stages_and_resume(tmp_path):
                   f"--checkpoint_path={tmp_path}",
                   "--overwrite_checkpoint=:ast:True"])
     assert ppl_file.exists()
+
+
+def test_pipeline_pallas_backend_eval(tmp_path):
+    """evaluate.pallas_backend=true routes the perplexity eval through the
+    fused serving kernels (fused qkv + MLP megakernel, interpret on CPU);
+    ppl must agree with the emulated eval to kernel-accumulation tolerance."""
+    cfg_path = Path(__file__).resolve().parents[1] / \
+        "experiments/configs/debug/llama-tiny-pallas.toml"
+
+    def run(tag, extra):
+        d = tmp_path / tag
+        config = run_pipeline([
+            str(cfg_path), tag,
+            f"--checkpoint_path={d}",
+            "--overwrite_checkpoint=:ast:True",
+        ] + extra)
+        with open(d / "evaluate_perplexity/synthetic.json") as f:
+            return json.load(f)["perplexity"]
+
+    ppl_kernel = run("kernel", [])
+    ppl_emul = run("emul", ["--evaluate:pallas_backend=:ast:False"])
+    assert abs(ppl_kernel - ppl_emul) / ppl_emul < 0.02, (ppl_kernel, ppl_emul)

@@ -154,6 +154,9 @@ def main():
     ap.add_argument("--rank", type=int, default=32)
     ap.add_argument("--no-lowrank", action="store_true")
     ap.add_argument("--no-scan", action="store_true")
+    ap.add_argument("--eval-chunk", type=int, default=0,
+                    help="also time a full-sequence eval chunk (GPTQ-style "
+                    "perplexity forward) of this length through the kernels")
     args = ap.parse_args()
 
     cfg = LlamaConfig.llama_7b()
@@ -221,6 +224,37 @@ def main():
         per_layer_us = (b1 - b0) / cfg.num_hidden_layers * 1e3
         print(f"[e2e-7b] L-scaled cost: ({l1}-{l0}) -> "
               f"{per_layer_us:.0f} us/layer attention-side at L={l1}")
+
+    if args.eval_chunk:
+        # perplexity-eval throughput: one full-sequence chunk through the
+        # serving kernels (runners.py evaluate.pallas_backend path)
+        from lqer_tpu.serving import make_cache, model_step
+
+        s_len = args.eval_chunk
+        b_meta = backend["meta"]
+
+        @jax.jit
+        def eval_fwd(p, b_arrays, ids):
+            cache = make_cache(cfg, ids.shape[0], s_len, dtype=jnp.bfloat16)
+            logits, _ = model_step(
+                p, ids, cache, jnp.zeros((ids.shape[0],), jnp.int32), cfg,
+                qcfgs, backend={"arrays": b_arrays, "meta": b_meta},
+            )
+            return logits
+
+        ids = jnp.ones((1, s_len), jnp.int32)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(eval_fwd(params, backend["arrays"], ids))
+        logger.info("eval chunk compiled+ran in %.1fs", time.perf_counter() - t0)
+        lat = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(
+                eval_fwd(params, backend["arrays"], ids))
+            lat.append(time.perf_counter() - t0)
+        best = min(lat)
+        print(f"[e2e-7b] eval chunk s={s_len}: best={best*1e3:.0f}ms -> "
+              f"{s_len / best:.0f} tokens/s perplexity-eval throughput")
 
 
 if __name__ == "__main__":

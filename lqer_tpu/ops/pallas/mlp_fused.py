@@ -84,7 +84,7 @@ def _mlp_kernel(
     rank_gu, rank_d, has_bias,
     quant_xa_mb, quant_out_mb,
 ):
-    p = pl.program_id(0)
+    p = pl.program_id(1)
     P1 = n_i * n_k
     in_p1 = p < P1
     k = jnp.where(in_p1, p % n_k, 0)
@@ -246,6 +246,7 @@ def _mlp_call(
     n_i, n_k = I // tile_i, K // tile_k
     n_n, n_k2 = N // tile_n, I // tile_k2
     P = n_i * n_k + n_n * n_k2
+    n_m = M // tile_m
 
     def c(*idx):
         return tuple(idx)
@@ -267,27 +268,27 @@ def _mlp_call(
         return j % n_k2, j // n_k2
 
     add(x_q.astype(jnp.bfloat16), (tile_m, tile_k),
-        lambda p: c(0, p1_idx(p)[0]))
-    add(pg, (tile_k // 2, tile_i), lambda p: c(*p1_idx(p)))
-    add(eg, (tile_k // group, tile_i), lambda p: c(*p1_idx(p)))
+        lambda m, p: c(m, p1_idx(p)[0]))
+    add(pg, (tile_k // 2, tile_i), lambda m, p: c(*p1_idx(p)))
+    add(eg, (tile_k // group, tile_i), lambda m, p: c(*p1_idx(p)))
     if gated:
-        add(pu, (tile_k // 2, tile_i), lambda p: c(*p1_idx(p)))
-        add(eu, (tile_k // group, tile_i), lambda p: c(*p1_idx(p)))
-    add(pd, (tile_k2 // 2, tile_n), lambda p: c(*p2_idx(p)))
-    add(ed, (tile_k2 // group, tile_n), lambda p: c(*p2_idx(p)))
+        add(pu, (tile_k // 2, tile_i), lambda m, p: c(*p1_idx(p)))
+        add(eu, (tile_k // group, tile_i), lambda m, p: c(*p1_idx(p)))
+    add(pd, (tile_k2 // 2, tile_n), lambda m, p: c(*p2_idx(p)))
+    add(ed, (tile_k2 // group, tile_n), lambda m, p: c(*p2_idx(p)))
     if rank_gu > 0:
-        add(a_gu, (tile_k, rank_gu), lambda p: c(p1_idx(p)[0], 0))
-        add(b_g, (b_g.shape[0], tile_i), lambda p: c(0, p1_idx(p)[1]))
+        add(a_gu, (tile_k, rank_gu), lambda m, p: c(p1_idx(p)[0], 0))
+        add(b_g, (b_g.shape[0], tile_i), lambda m, p: c(0, p1_idx(p)[1]))
         if gated:
-            add(b_u, (b_u.shape[0], tile_i), lambda p: c(0, p1_idx(p)[1]))
+            add(b_u, (b_u.shape[0], tile_i), lambda m, p: c(0, p1_idx(p)[1]))
     if rank_d > 0:
-        add(a_d, (tile_k2, rank_d), lambda p: c(p2_idx(p)[0], 0))
-        add(b_d, (rank_d, tile_n), lambda p: c(0, p2_idx(p)[1]))
+        add(a_d, (tile_k2, rank_d), lambda m, p: c(p2_idx(p)[0], 0))
+        add(b_d, (rank_d, tile_n), lambda m, p: c(0, p2_idx(p)[1]))
     if has_bias:
-        add(bias_g, (1, tile_i), lambda p: c(0, p1_idx(p)[1]))
+        add(bias_g, (1, tile_i), lambda m, p: c(0, p1_idx(p)[1]))
         if gated:
-            add(bias_u, (1, tile_i), lambda p: c(0, p1_idx(p)[1]))
-        add(bias_d, (1, tile_n), lambda p: c(0, p2_idx(p)[1]))
+            add(bias_u, (1, tile_i), lambda m, p: c(0, p1_idx(p)[1]))
+        add(bias_d, (1, tile_n), lambda m, p: c(0, p2_idx(p)[1]))
 
     kernel = functools.partial(
         _mlp_kernel_variant(gated, rank_gu, rank_d, has_bias),
@@ -304,9 +305,10 @@ def _mlp_call(
                  + I * N // 2 + I * N // group + M * N * 4)
     return pl.pallas_call(
         kernel,
-        grid=(P,),
+        grid=(n_m, P),
         in_specs=specs,
-        out_specs=pl.BlockSpec((tile_m, tile_n), lambda p: c(0, p2_idx(p)[1]),
+        out_specs=pl.BlockSpec((tile_m, tile_n),
+                               lambda m, p: c(m, p2_idx(p)[1]),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[
@@ -388,12 +390,6 @@ def mlp_w4_fused(
     if M % tm != 0 or M < 8:
         pad = -M % tm if M >= 8 else 8 - M
         x_q = jnp.pad(x_q, ((0, pad), (0, 0)))
-    if x_q.shape[0] != tm:
-        # multiple M tiles would need an (m,)-indexed intermediate scratch;
-        # fall back upstream for large batches
-        raise ValueError(
-            f"mlp_w4_fused handles a single M tile (M<= {tile_m}); got {M}"
-        )
     ti = min(tile_i, I)
     tn = min(tile_n, N)
     assert I % ti == 0 and N % tn == 0, (I, ti, N, tn)

@@ -293,55 +293,23 @@ def serving_mlp(
     *,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Run a layer's whole MLP through the megakernel (one launch). Falls
-    back to per-linear fused launches when the token count exceeds one M
-    tile (the megakernel keeps the (M, I) intermediate in VMEM)."""
+    """Run a layer's whole MLP through the megakernel: one launch for any
+    token count (the kernel's grid tiles M at 128; the (tile_m, I)
+    intermediate stays in VMEM per M tile). ``qc_down`` is kept for
+    interface stability (its activation format is baked into the packed
+    meta as ``act_width``)."""
     from ..ops.pallas.mlp_fused import mlp_w4_fused
 
     prep = dict(backend["arrays"][key])
     prep.update(backend["meta"][key])
     b, s, k = x.shape
     x_q = qc_first.x_quantizer(x).astype(jnp.bfloat16).reshape(b * s, k)
-    if b * s <= 128:
-        y = mlp_w4_fused(
-            x_q, prep, tile_m=128, tile_i=prep["tile_i"],
-            tile_n=prep["tile_n"], act_width=prep["act_width"],
-            out_dtype=jnp.float32, interpret=interpret,
-        )
-    else:  # prefill: per-linear launches reusing the same packed arrays
-        y = _mlp_unfused(x_q, prep, qc_down, interpret)
+    y = mlp_w4_fused(
+        x_q, prep, tile_m=128, tile_i=prep["tile_i"],
+        tile_n=prep["tile_n"], act_width=prep["act_width"],
+        out_dtype=jnp.float32, interpret=interpret,
+    )
     return y.reshape(b, s, -1).astype(x.dtype)
-
-
-def _mlp_unfused(x_q, prep, qc_down, interpret):
-    import jax
-
-    rank = 0 if prep["a_gu"] is None else prep["a_gu"].shape[1]
-    half = rank // 2 if prep["gated"] else rank
-
-    def sub(packed, exps, a, b_, bias, tk):
-        return {"packed": packed, "exps": exps, "a": a, "b": b_,
-                "bias": bias, "tile_k": tk, "fmt": prep["fmt"]}
-
-    g = qlinear_w4_fused(
-        x_q, sub(prep["pg"], prep["eg"],
-                 None if rank == 0 else prep["a_gu"][:, :half],
-                 prep["b_g"], prep["bias_g"], prep["tile_k"]),
-        tile_n=prep["tile_i"], interpret=interpret)
-    if prep["gated"]:
-        u = qlinear_w4_fused(
-            x_q, sub(prep["pu"], prep["eu"],
-                     None if rank == 0 else prep["a_gu"][:, half:],
-                     prep["b_u"], prep["bias_u"], prep["tile_k"]),
-            tile_n=prep["tile_i"], interpret=interpret)
-        h = jax.nn.silu(g) * u
-    else:
-        h = jnp.maximum(g, 0.0)
-    h_q = qc_down.x_quantizer(h).astype(jnp.bfloat16)
-    return qlinear_w4_fused(
-        h_q, sub(prep["pd"], prep["ed"], prep["a_d"], prep["b_d"],
-                 prep["bias_d"], prep["tile_k2"]),
-        tile_n=prep["tile_n"], interpret=interpret)
 
 
 def serving_linear(

@@ -89,11 +89,20 @@ def test_mlp_fused_matches_emulation(gated, rank, bias):
                                atol=5e-3, rtol=5e-3)
 
 
-def test_mlp_fused_rejects_large_batch():
+def test_mlp_fused_multiple_m_tiles():
+    """Prefill-sized batches: the (m, phase) grid must reproduce the
+    single-tile math for every M tile."""
     rng = np.random.default_rng(1)
-    wg = jnp.asarray(rng.standard_normal((512, 256)) * 0.1, jnp.float32)
-    wd = jnp.asarray(rng.standard_normal((256, 512)) * 0.1, jnp.float32)
-    prep = prepare_mlp_weights(wg, None, wd)
-    x = jnp.ones((256, 256), jnp.bfloat16)
-    with pytest.raises(ValueError):
-        mlp_w4_fused(x, prep, tile_m=128, interpret=True)
+    M, K, I, N = 256, 256, 512, 256
+    wg = jnp.asarray(rng.standard_normal((I, K)) * 0.1, jnp.float32)
+    wu = jnp.asarray(rng.standard_normal((I, K)) * 0.1, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((N, I)) * 0.1, jnp.float32)
+    prep = prepare_mlp_weights(wg, wu, wd)
+    x_q = _xq(jax.random.PRNGKey(9), M, K)
+    big = mlp_w4_fused(x_q, prep, tile_m=128, tile_i=128, tile_n=128,
+                       interpret=True)
+    for m0 in range(0, M, 128):
+        small = mlp_w4_fused(x_q[m0:m0 + 128], prep, tile_m=128,
+                             tile_i=128, tile_n=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(big[m0:m0 + 128]),
+                                      np.asarray(small))

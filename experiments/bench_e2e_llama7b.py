@@ -227,20 +227,19 @@ def main():
 
     if args.eval_chunk:
         # perplexity-eval throughput: one full-sequence chunk through the
-        # serving kernels (runners.py evaluate.pallas_backend path)
-        from lqer_tpu.serving import make_cache, model_step
+        # fused kernels + prefill attention kernel (runners.py
+        # evaluate.pallas_backend path)
+        arch_fwd = models.get_arch_module(cfg).forward
 
         s_len = args.eval_chunk
         b_meta = backend["meta"]
 
         @jax.jit
         def eval_fwd(p, b_arrays, ids):
-            cache = make_cache(cfg, ids.shape[0], s_len, dtype=jnp.bfloat16)
-            logits, _ = model_step(
-                p, ids, cache, jnp.zeros((ids.shape[0],), jnp.int32), cfg,
-                qcfgs, backend={"arrays": b_arrays, "meta": b_meta},
+            return arch_fwd(
+                p, ids, cfg, qcfgs, fused_attention=True,
+                backend={"arrays": b_arrays, "meta": b_meta},
             )
-            return logits
 
         ids = jnp.ones((1, s_len), jnp.int32)
         t0 = time.perf_counter()

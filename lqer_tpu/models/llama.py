@@ -144,6 +144,7 @@ def decoder_layer(
     positions: jnp.ndarray,
     tap=None,
     fused_attention: bool = False,
+    backend: dict | None = None,
 ) -> jnp.ndarray:
     from .fp_config import FP_LAYER_LLAMA
 
@@ -152,17 +153,35 @@ def decoder_layer(
     p = layer_prefix(i)
     attn_cfg = q["attn"]
 
+    def heads(y, n):
+        b, s, _ = y.shape
+        return y.reshape(b, s, n, -1).transpose(0, 2, 1, 3)
+
     residual = h
     h = rms_norm(h, _mod(params, f"{p}.input_layernorm"), cfg.rms_norm_eps)
 
     for proj in ("q_proj", "k_proj", "v_proj"):
         tap(f"{p}.self_attn.{proj}", h)
-    qh = project_heads(h, _mod(params, f"{p}.self_attn.q_proj"), attn_cfg.q_proj,
-                       cfg.num_attention_heads)
-    kh = project_heads(h, _mod(params, f"{p}.self_attn.k_proj"), attn_cfg.k_proj,
-                       cfg.kv_heads)
-    vh = project_heads(h, _mod(params, f"{p}.self_attn.v_proj"), attn_cfg.v_proj,
-                       cfg.kv_heads)
+    if backend is not None:
+        # eval through the Pallas serving kernels (fused qkv / MLP
+        # megakernel when packed) — same routers as the serving decode path
+        from ..serving.decode import _lin, _lin_group, _mlp_fused_or_none
+
+        qy, ky, vy = _lin_group(
+            h, params, p, "self_attn.qkv_proj",
+            ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+            (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj), backend,
+        )
+        qh = heads(qy, cfg.num_attention_heads)
+        kh = heads(ky, cfg.kv_heads)
+        vh = heads(vy, cfg.kv_heads)
+    else:
+        qh = project_heads(h, _mod(params, f"{p}.self_attn.q_proj"),
+                           attn_cfg.q_proj, cfg.num_attention_heads)
+        kh = project_heads(h, _mod(params, f"{p}.self_attn.k_proj"),
+                           attn_cfg.k_proj, cfg.kv_heads)
+        vh = project_heads(h, _mod(params, f"{p}.self_attn.v_proj"),
+                           attn_cfg.v_proj, cfg.kv_heads)
     qh, kh = apply_rotary(qh, kh, cos, sin, positions)
     n_rep = cfg.num_attention_heads // cfg.kv_heads
     kh = repeat_kv(kh, n_rep)
@@ -179,13 +198,29 @@ def decoder_layer(
         )
     attn = merge_heads(attn)
     tap(f"{p}.self_attn.o_proj", attn)
-    attn = qlinear(attn, _mod(params, f"{p}.self_attn.o_proj"), attn_cfg.o_proj)
+    if backend is not None:
+        attn = _lin(attn, params, f"{p}.self_attn.o_proj", attn_cfg.o_proj,
+                    backend)
+    else:
+        attn = qlinear(attn, _mod(params, f"{p}.self_attn.o_proj"),
+                       attn_cfg.o_proj)
     h = residual + attn
 
     residual = h
     h = rms_norm(h, _mod(params, f"{p}.post_attention_layernorm"), cfg.rms_norm_eps)
     tap(f"{p}.mlp.gate_proj", h)
     tap(f"{p}.mlp.up_proj", h)
+    if backend is not None:
+        y = _mlp_fused_or_none(h, p, q["gate_proj"], q["down_proj"], backend)
+        if y is None:
+            gate, up = _lin_group(
+                h, params, p, "mlp.gateup_proj",
+                ("mlp.gate_proj", "mlp.up_proj"),
+                (q["gate_proj"], q["up_proj"]), backend,
+            )
+            y = _lin(jax.nn.silu(gate) * up, params, f"{p}.mlp.down_proj",
+                     q["down_proj"], backend)
+        return residual + y
     gate = qlinear(h, _mod(params, f"{p}.mlp.gate_proj"), q["gate_proj"])
     up = qlinear(h, _mod(params, f"{p}.mlp.up_proj"), q["up_proj"])
     h = jax.nn.silu(gate) * up
@@ -202,6 +237,7 @@ def forward(
     tap=None,
     fused_attention: bool = False,
     return_hidden: bool = False,
+    backend: dict | None = None,
 ) -> jnp.ndarray:
     b, s = input_ids.shape
     embed = params["model.embed_tokens.weight"]
@@ -227,7 +263,8 @@ def forward(
     for i in range(cfg.num_hidden_layers):
         qcfg = layer_qcfgs[i] if layer_qcfgs is not None else None
         h = decoder_layer(h, params, cfg, i, qcfg, mask, cos, sin, positions,
-                          tap=tap, fused_attention=fused_attention)
+                          tap=tap, fused_attention=fused_attention,
+                          backend=backend)
 
     h = rms_norm(h, _mod(params, "model.norm"), cfg.rms_norm_eps)
     if return_hidden:

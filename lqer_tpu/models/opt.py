@@ -124,6 +124,7 @@ def decoder_layer(
     qcfg: dict | None,
     mask: jnp.ndarray,
     tap=None,
+    backend: dict | None = None,
 ) -> jnp.ndarray:
     """One OPT decoder layer (`opt_decoder.py:212-322`).
 
@@ -144,19 +145,41 @@ def decoder_layer(
 
     for proj in ("q_proj", "k_proj", "v_proj"):
         tap(f"{p}.self_attn.{proj}", h)
-    qh = project_heads(h, _mod(params, f"{p}.self_attn.q_proj"), attn_cfg.q_proj,
-                       cfg.num_attention_heads)
-    kh = project_heads(h, _mod(params, f"{p}.self_attn.k_proj"), attn_cfg.k_proj,
-                       cfg.num_attention_heads)
-    vh = project_heads(h, _mod(params, f"{p}.self_attn.v_proj"), attn_cfg.v_proj,
-                       cfg.num_attention_heads)
+    if backend is not None:
+        # eval through the Pallas serving kernels (fused qkv / MLP
+        # megakernel when packed) — same routers as the serving decode path
+        from ..serving.decode import _lin, _lin_group, _mlp_fused_or_none
+
+        def heads(y):
+            b, s_, _ = y.shape
+            return y.reshape(b, s_, cfg.num_attention_heads,
+                             -1).transpose(0, 2, 1, 3)
+
+        qy, ky, vy = _lin_group(
+            h, params, p, "self_attn.qkv_proj",
+            ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+            (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj), backend,
+        )
+        qh, kh, vh = heads(qy), heads(ky), heads(vy)
+    else:
+        qh = project_heads(h, _mod(params, f"{p}.self_attn.q_proj"),
+                           attn_cfg.q_proj, cfg.num_attention_heads)
+        kh = project_heads(h, _mod(params, f"{p}.self_attn.k_proj"),
+                           attn_cfg.k_proj, cfg.num_attention_heads)
+        vh = project_heads(h, _mod(params, f"{p}.self_attn.v_proj"),
+                           attn_cfg.v_proj, cfg.num_attention_heads)
     attn = eager_attention(
         qh, kh, vh, mask, attn_cfg.qk_matmul, attn_cfg.pv_matmul,
         scaling=cfg.head_dim**-0.5, scale_query=True,
     )
     attn = merge_heads(attn)
     tap(f"{p}.self_attn.out_proj", attn)
-    attn = qlinear(attn, _mod(params, f"{p}.self_attn.out_proj"), attn_cfg.o_proj)
+    if backend is not None:
+        attn = _lin(attn, params, f"{p}.self_attn.out_proj", attn_cfg.o_proj,
+                    backend)
+    else:
+        attn = qlinear(attn, _mod(params, f"{p}.self_attn.out_proj"),
+                       attn_cfg.o_proj)
     h = residual + attn
     if not cfg.do_layer_norm_before:
         h = layer_norm(h, _mod(params, f"{p}.self_attn_layer_norm"))
@@ -165,10 +188,18 @@ def decoder_layer(
     if cfg.do_layer_norm_before:
         h = layer_norm(h, _mod(params, f"{p}.final_layer_norm"))
     tap(f"{p}.fc1", h)
-    h = qlinear(h, _mod(params, f"{p}.fc1"), q["fc1"])
-    h = jax.nn.relu(h)
-    tap(f"{p}.fc2", h)
-    h = qlinear(h, _mod(params, f"{p}.fc2"), q["fc2"])
+    if backend is not None:
+        y = _mlp_fused_or_none(h, p, q["fc1"], q["fc2"], backend)
+        if y is None:
+            y = _lin(h, params, f"{p}.fc1", q["fc1"], backend)
+            y = jax.nn.relu(y)
+            y = _lin(y, params, f"{p}.fc2", q["fc2"], backend)
+        h = y
+    else:
+        h = qlinear(h, _mod(params, f"{p}.fc1"), q["fc1"])
+        h = jax.nn.relu(h)
+        tap(f"{p}.fc2", h)
+        h = qlinear(h, _mod(params, f"{p}.fc2"), q["fc2"])
     h = residual + h
     if not cfg.do_layer_norm_before:
         h = layer_norm(h, _mod(params, f"{p}.final_layer_norm"))
@@ -182,6 +213,7 @@ def forward(
     layer_qcfgs: list[dict] | None = None,
     tap=None,
     return_hidden: bool = False,
+    backend: dict | None = None,
 ) -> jnp.ndarray:
     """Full-causal-LM forward returning logits (b, s, vocab)."""
     b, s = input_ids.shape
@@ -195,7 +227,8 @@ def forward(
     mask = causal_mask(s, dtype=h.dtype)
     for i in range(cfg.num_hidden_layers):
         qcfg = layer_qcfgs[i] if layer_qcfgs is not None else None
-        h = decoder_layer(h, params, cfg, i, qcfg, mask, tap=tap)
+        h = decoder_layer(h, params, cfg, i, qcfg, mask, tap=tap,
+                          backend=backend)
 
     if params.get("model.decoder.final_layer_norm.weight") is not None:
         h = layer_norm(h, _mod(params, "model.decoder.final_layer_norm"))

@@ -252,32 +252,20 @@ def _build_quantized_forward(config: dict, disable_lqer: bool, dtype):
 
     fused_attn = bool(config.get("evaluate", {}).get("fused_attention", False))
     if backend is not None:
+        # eval forward with every linear routed through the fused kernels
+        # (both arches); the prefill attention kernel engages when eligible
         b_meta = backend["meta"]
+        arch_fwd = models.get_arch_module(cfg).forward
+        kwargs = {}
         if cfg.arch in ("llama", "mistral"):
-            # eval forward with every linear routed through the fused
-            # kernels; the prefill attention kernel engages when eligible
-            arch_fwd = models.get_arch_module(cfg).forward
+            kwargs["fused_attention"] = fused_attn
 
-            @jax.jit
-            def jitted_backend(p, b_arrays, ids):
-                return arch_fwd(
-                    p, ids, cfg, qcfgs, fused_attention=fused_attn,
-                    backend={"arrays": b_arrays, "meta": b_meta},
-                )
-        else:
-            # OPT: full-sequence forward via the serving model_step with a
-            # throwaway fresh cache (serving parity tests pin equivalence)
-            from .serving import make_cache, model_step
-
-            @jax.jit
-            def jitted_backend(p, b_arrays, ids):
-                b, s = ids.shape
-                cache = make_cache(cfg, b, s, dtype=jnp.bfloat16)
-                logits, _ = model_step(
-                    p, ids, cache, jnp.zeros((b,), jnp.int32), cfg, qcfgs,
-                    backend={"arrays": b_arrays, "meta": b_meta},
-                )
-                return logits
+        @jax.jit
+        def jitted_backend(p, b_arrays, ids):
+            return arch_fwd(
+                p, ids, cfg, qcfgs,
+                backend={"arrays": b_arrays, "meta": b_meta}, **kwargs,
+            )
 
         fwd = lambda ids: jitted_backend(params, backend["arrays"], ids)  # noqa: E731
     elif fused_attn and cfg.arch in ("llama", "mistral"):

@@ -166,3 +166,27 @@ def test_engine_decode_attention_kernel_path():
     kernel = run({})
     eager = run({"LQER_DISABLE_ATTN_KERNEL": "1"})
     assert kernel == eager, (kernel, eager)
+
+
+def test_opt_forward_with_backend_matches_emulated():
+    """OPT eval forward routed through the Pallas kernels (fused qkv + MLP
+    megakernel) vs the emulated forward: same top-1 logits."""
+    from lqer_tpu.models import OPTConfig
+    from lqer_tpu.models import opt as opt_mod
+
+    cfg = OPTConfig.tiny(vocab_size=128, hidden=256, layers=2, heads=4,
+                         ffn=256, max_pos=64)
+    params = models.init_params(cfg, jax.random.PRNGKey(21))
+    q = dict(Q_CONFIG)
+    q["bmm"] = q.pop("matmul")
+    qcfgs = models.quantize_model(cfg, q, L_CONFIG)
+    backend = prepare_serving_params(params, cfg, qcfgs)
+    assert "model.decoder.layers.0.mlp_fused" in backend["meta"]
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    ids = jnp.asarray([[3, 17, 42, 9]], dtype=jnp.int32)
+    ref = np.asarray(opt_mod.forward(params, ids, cfg, qcfgs))
+    out = np.asarray(opt_mod.forward(params, ids, cfg, qcfgs,
+                                     backend=backend))
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+    np.testing.assert_array_equal(np.argmax(out, -1), np.argmax(ref, -1))

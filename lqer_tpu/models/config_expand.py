@@ -172,3 +172,35 @@ def resolve_model_configs(
         resolve_layer(q_layers[i], l_layers[i] if l_layers else None, arch)
         for i in range(num_layers)
     ]
+
+
+def attn_qcfg_equal(a, b) -> bool:
+    """AttnQConfig equality by CONFIG, not by callable identity: the matmul
+    closures from `resolve_qmatmul` are fresh objects per layer even for
+    identical configs, so dataclass eq is useless here; the proj
+    QLinearConfigs hold memoized quantizers so their eq works."""
+    return (
+        a.q_proj == b.q_proj and a.k_proj == b.k_proj
+        and a.v_proj == b.v_proj and a.o_proj == b.o_proj
+        and a.qk_cfg == b.qk_cfg and a.pv_cfg == b.pv_cfg
+    )
+
+
+def layer_qcfgs_uniform(layer_qcfgs) -> bool:
+    """True when every layer resolved to the same quantizer configuration —
+    the requirement for the lax.scan decode path (one traced layer body).
+    Heterogeneous per-layer configs (``model_layer_{i}`` overrides) must use
+    the unrolled step."""
+    if layer_qcfgs is None or len(layer_qcfgs) <= 1:
+        return True
+    ref = layer_qcfgs[0]
+    for q in layer_qcfgs[1:]:
+        if set(q) != set(ref):
+            return False
+        for k in ref:
+            if k == "attn":
+                if not attn_qcfg_equal(q[k], ref[k]):
+                    return False
+            elif q[k] != ref[k]:
+                return False
+    return True

@@ -83,8 +83,16 @@ class DecodeEngine:
         backend = pallas_backend
         self._scan = scan_layers
         if scan_layers:
+            from ..models.config_expand import layer_qcfgs_uniform
             from .decode import stack_backend
 
+            if not layer_qcfgs_uniform(layer_qcfgs):
+                raise ValueError(
+                    "scan_layers requires a uniform per-layer quantizer "
+                    "config (the scan traces ONE layer body); this model "
+                    "has heterogeneous model_layer_{i} overrides — use the "
+                    "unrolled step (scan_layers=False)"
+                )
             arch_mod = models.get_arch_module(cfg)
             self._stacked, self._rest = arch_mod.stack_layer_params(params, cfg)
             bs = stack_backend(backend, cfg)

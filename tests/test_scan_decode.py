@@ -137,3 +137,38 @@ def test_opt_scan_decode_matches_unrolled_pallas():
     unrolled = _run_engine(params, cfg, qcfgs, backend, scan=False)
     scanned = _run_engine(params, cfg, qcfgs, backend, scan=True)
     assert scanned == unrolled, (scanned, unrolled)
+
+
+def test_scan_rejects_heterogeneous_configs():
+    """Silent wrong numerics guard: heterogeneous per-layer configs (the
+    reference's model_layer_{i} overrides) must be refused by the scan
+    engine (it would otherwise apply layer 0's config everywhere)."""
+    import pytest
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
+                           kv_heads=2, inter=96)
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    # model_layer_{i} overrides REPLACE the whole layer template
+    # (`llama_decoder.py:444-452` semantics): build a full layer dict with
+    # one projection at a different activation width
+    lin6 = {**Q_CONFIG["linear"], "x_quantizer": _q(6, [1, 16], True)}
+    mm = Q_CONFIG["matmul"]
+    q_het = dict(Q_CONFIG)
+    q_het["model_layer_1"] = {
+        "self_attn": {
+            "q_proj": lin6, "k_proj": Q_CONFIG["linear"],
+            "v_proj": Q_CONFIG["linear"], "o_proj": Q_CONFIG["linear"],
+            "matmul_0": mm, "matmul_1": mm,
+        },
+        "mlp": {p: Q_CONFIG["linear"]
+                for p in ("gate_proj", "up_proj", "down_proj")},
+    }
+    qcfgs = models.quantize_model(cfg, q_het, L_CONFIG)
+    params = models.prepare_ptq(params, cfg, qcfgs)
+    with pytest.raises(ValueError, match="uniform"):
+        DecodeEngine(params, cfg, qcfgs, num_slots=1, max_len=64,
+                     scan_layers=True)
+    # uniform configs still pass
+    qcfgs_u = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
+    DecodeEngine(params, cfg, qcfgs_u, num_slots=1, max_len=64,
+                 scan_layers=True)

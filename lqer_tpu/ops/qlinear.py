@@ -50,6 +50,9 @@ class QLinearConfig:
     # are memoized per config, so identity compare covers equality); kept so
     # the serving backend can check kernel-eligibility of a format
     x_cfg: dict | None = dataclasses.field(default=None, compare=False)
+    w_cfg: dict | None = dataclasses.field(default=None, compare=False)
+    a_out_cfg: dict | None = dataclasses.field(default=None, compare=False)
+    b_out_cfg: dict | None = dataclasses.field(default=None, compare=False)
 
     @staticmethod
     def from_q_config(q_config: dict, l_config: dict | None = None) -> "QLinearConfig":
@@ -80,6 +83,9 @@ class QLinearConfig:
             is_lqer=is_lqer,
             rank=rank,
             x_cfg=x_cfg,
+            w_cfg=w_cfg,
+            a_out_cfg=a_out_cfg,
+            b_out_cfg=b_out_cfg,
         )
 
 

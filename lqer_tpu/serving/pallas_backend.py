@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from .. import models
 from ..ops.pallas import prepare_w4_weights, qlinear_w4_fused
+from ..ops.qlinear import _bf16_exact
 from ..ops.storage import MXINT4
 from ..utils.logging import get_logger
 
@@ -66,20 +67,137 @@ def _is_mx8_act(x_cfg: dict | None) -> bool:
     )
 
 
-def _mlp_fusable(layer_prefix, cfg, params, layer_qcfg, tile_k) -> bool:
+# ---------------------------------------------------------------------------
+# format-eligibility guard
+#
+# The fused kernel bakes in exactly ONE weight format (MXINT4: block_fp,
+# width 4, [1,16] groups along in_features, 8-bit shared exponent) and ONE
+# in-kernel partial-product quantizer shape (per-row groups of 16, block_fp
+# semantics). Any layer whose configured quantizers don't match — the
+# reference's W3 / integer-INT [1,-1] / minifloat / W-only-passthrough sweep
+# variants (`sweep_lqer_act_int.sh:57-66`, `opt-6.7b-int.toml`) — must NOT be
+# packed: the decode/eval routers fall back to the software emulation for any
+# module absent from ``backend["meta"]``, which keeps numerics exact instead
+# of silently serving the wrong format.
+# ---------------------------------------------------------------------------
+_INELIGIBLE = "ineligible"
+
+
+def _is_mx4_weight(w_cfg: dict | None) -> bool:
+    """True iff the configured weight quantizer is exactly the packed
+    MXINT4 format ``prepare_w4_weights``/``quantize_mx`` reproduce."""
+    return bool(
+        w_cfg
+        and w_cfg.get("name") == "block_fp"
+        and w_cfg.get("width") == 4
+        and w_cfg.get("exponent_width") == 8
+        and w_cfg.get("exponent_bias") is None
+        and list(w_cfg.get("block_size", ())) == [1, 16]
+        and not w_cfg.get("skip_first_dim", False)
+    )
+
+
+def _partial_quant_width(cfg: dict | None, last_dim: int):
+    """Width at which the kernel's ``_quantize_rows_mx`` reproduces this
+    A_out/B_out quantizer on an (M, last_dim) partial product.
+
+    Returns ``None`` for passthrough (in-kernel quantization disabled),
+    an ``int`` width for the canonical activation block_fp format, or
+    ``_INELIGIBLE`` when the kernel cannot reproduce the config (wrong
+    family/blocking, or a last_dim the kernel's group fallback would block
+    differently than the reference's padding — exact only for last_dim <= 16
+    or multiples of 16)."""
+    if cfg is None or cfg.get("name") == "passthrough":
+        return None
+    if not (
+        cfg.get("name") == "block_fp"
+        and cfg.get("exponent_width") == 8
+        and cfg.get("exponent_bias") is None
+        and list(cfg.get("block_size", ())) == [1, 16]
+        and cfg.get("skip_first_dim", False)
+        and cfg.get("width", 99) <= 9
+    ):
+        return _INELIGIBLE
+    if last_dim > 16 and last_dim % 16 != 0:
+        return _INELIGIBLE
+    return int(cfg["width"])
+
+
+def _bf16_exact_values(arr) -> bool:
+    """Concrete check that an A/B factor's values survive the kernel's bf16
+    operand cast losslessly (the approximator quantizes them, but the
+    configured A/B format may be wider than 9 bits)."""
+    a32 = jnp.asarray(arr, jnp.float32)
+    return bool(jnp.all(a32.astype(jnp.bfloat16).astype(jnp.float32) == a32))
+
+
+def _eligibility(qc, w, a, b, tile_k: int):
+    """(ok, reason, xa_width, out_width) for packing one linear through the
+    fused kernel. ``reason`` names the first failing constraint."""
+    n_out, k_in = w.shape
+    if not _is_mx4_weight(qc.w_cfg):
+        return False, f"w_quantizer {qc.w_cfg} is not canonical MXINT4", None, None
+    if not _bf16_exact(qc.x_cfg):
+        return False, f"x_quantizer {qc.x_cfg} not exact in bf16", None, None
+    if k_in % tile_k != 0:
+        return False, f"in_features {k_in} % tile_k {tile_k} != 0", None, None
+    if n_out % 128 != 0:
+        return False, f"out_features {n_out} % 128 != 0", None, None
+    xa_width = out_width = None
+    if a is not None:
+        rank = a.shape[1]
+        xa_width = _partial_quant_width(qc.a_out_cfg, rank)
+        if xa_width is _INELIGIBLE:
+            return False, f"A_out_quantizer {qc.a_out_cfg} (rank {rank})", None, None
+        out_width = _partial_quant_width(qc.b_out_cfg, n_out)
+        if out_width is _INELIGIBLE:
+            return False, f"B_out_quantizer {qc.b_out_cfg}", None, None
+        if not (_bf16_exact_values(a) and _bf16_exact_values(b)):
+            return False, "A/B values not exact in bf16", None, None
+    return True, "", xa_width, out_width
+
+
+def _member_widths(layer_prefix, members, params, layer_qcfg, tile_k):
+    """Run the format-eligibility check on every member of a fusion group.
+    Returns the common (xa_width, out_width) pair, or None when any member
+    is ineligible or the widths disagree (one kernel = one width pair)."""
+    widths = set()
+    for m in members:
+        qc = models._proj_qcfg(layer_qcfg, m.rsplit(".", 1)[-1])
+        w = params[f"{layer_prefix}.{m}.weight"]
+        a = params.get(f"{layer_prefix}.{m}.A")
+        b = params.get(f"{layer_prefix}.{m}.B")
+        ok, reason, xa_w, out_w = _eligibility(qc, w, a, b, tile_k)
+        if not ok:
+            return None
+        widths.add((xa_w, out_w))
+    return widths.pop() if len(widths) == 1 else None
+
+
+def _mlp_fusable(layer_prefix, cfg, params, layer_qcfg, tile_k):
+    """(xa_width, out_width) when the layer's whole MLP can run through the
+    megakernel, else None."""
     gate_rel, up_rel, down_rel = mlp_members_for(cfg)
     members = [gate_rel] + ([up_rel] if up_rel else [])
     if not _fusable(layer_prefix, members + [down_rel], params, layer_qcfg):
-        return False
+        return None
+    widths = _member_widths(layer_prefix, members + [down_rel], params,
+                            layer_qcfg, tile_k)
+    if widths is None:
+        return None
     qc_down = models._proj_qcfg(layer_qcfg, down_rel.rsplit(".", 1)[-1])
-    if not _is_mx8_act(qc_down.x_cfg):
-        return False
+    # the intermediate H re-quantizes IN-kernel with _quantize_rows_mx:
+    # down's activation format must be the canonical MXINT one (and bf16-safe)
+    if not (_is_mx8_act(qc_down.x_cfg) and qc_down.x_cfg.get("width", 99) <= 9):
+        return None
     # down's contraction dim (=I) must tile, and so must its rank
     w_down = params[f"{layer_prefix}.{down_rel}.weight"]
     if w_down.shape[1] % tile_k != 0 or w_down.shape[0] % 128 != 0:
-        return False
+        return None
     w_gate = params[f"{layer_prefix}.{gate_rel}.weight"]
-    return w_gate.shape[0] % 128 == 0
+    if w_gate.shape[0] % 128 != 0:
+        return None
+    return widths
 
 
 def _pick_tile_n(n: int) -> int:
@@ -177,13 +295,9 @@ def prepare_serving_params(
     """
     arrays: dict = {}
     meta: dict = {}
+    skipped: list[str] = []
 
-    def pack_one(key, w, a, b, bias, splits=None):
-        if w.shape[1] % tile_k != 0:
-            raise ValueError(
-                f"{key}: in_features {w.shape[1]} not divisible by "
-                f"tile_k {tile_k}"
-            )
+    def pack_one(key, w, a, b, bias, xa_width, out_width, splits=None):
         prep = prepare_w4_weights(w, a=a, b=b, bias=bias, fmt=MXINT4,
                                   tile_k=tile_k)
         # split traced arrays from static metadata so the whole backend
@@ -193,6 +307,8 @@ def prepare_serving_params(
             "tile_k": tile_k,
             "tile_n": _pick_tile_n(w.shape[0]),
             "fmt": MXINT4,
+            "xa_width": xa_width,
+            "out_width": out_width,
         }
         if splits is not None:
             meta[key]["splits"] = splits
@@ -200,32 +316,51 @@ def prepare_serving_params(
     for i in range(cfg.num_hidden_layers):
         fused_members: set[str] = set()
         lp = _layer_prefix(cfg, i)
-        if fuse_mlp and _mlp_fusable(lp, cfg, params, layer_qcfgs[i], tile_k):
-            key, members = _pack_mlp(lp, cfg, params, layer_qcfgs[i],
-                                     tile_k, arrays, meta)
-            fused_members.update(members)
+        if fuse_mlp:
+            mlp_widths = _mlp_fusable(lp, cfg, params, layer_qcfgs[i], tile_k)
+            if mlp_widths is not None:
+                key, members = _pack_mlp(lp, cfg, params, layer_qcfgs[i],
+                                         tile_k, arrays, meta,
+                                         xa_width=mlp_widths[0],
+                                         out_width=mlp_widths[1])
+                fused_members.update(members)
         if fuse_projections:
             for fused_rel, member_rels in fuse_groups_for(cfg):
                 if any(f"{lp}.{m}" in fused_members for m in member_rels):
                     continue
                 if not _fusable(lp, member_rels, params, layer_qcfgs[i]):
                     continue
+                widths = _member_widths(lp, member_rels, params,
+                                        layer_qcfgs[i], tile_k)
+                if widths is None:
+                    continue
                 w, a, b, bias, splits = _fuse_members(
                     lp, member_rels, params, layer_qcfgs[i]
                 )
-                pack_one(f"{lp}.{fused_rel}", w, a, b, bias, splits)
+                pack_one(f"{lp}.{fused_rel}", w, a, b, bias,
+                         widths[0], widths[1], splits=splits)
                 fused_members.update(f"{lp}.{m}" for m in member_rels)
         for prefix, proj in models.quantizable_module_prefixes(cfg, i):
             if prefix in fused_members:
                 continue
             w = params[prefix + ".weight"]
             qc = models._proj_qcfg(layer_qcfgs[i], proj)
+            a = params.get(prefix + ".A")
+            b = params.get(prefix + ".B")
+            ok, reason, xa_width, out_width = _eligibility(qc, w, a, b, tile_k)
+            if not ok:
+                skipped.append(prefix)
+                if i == 0:  # one log line per distinct module, not per layer
+                    logger.info(
+                        "not packing %s for the Pallas backend (emulation "
+                        "fallback): %s", prefix, reason)
+                continue
             bias = params.get(prefix + ".bias")
             if bias is not None:
                 bias = qc.b_quantizer(bias)
-            pack_one(prefix, w, params.get(prefix + ".A"),
-                     params.get(prefix + ".B"), bias)
-    logger.info("packed %d linears for the Pallas backend", len(meta))
+            pack_one(prefix, w, a, b, bias, xa_width, out_width)
+    logger.info("packed %d linears for the Pallas backend (%d fell back to "
+                "emulation)", len(meta), len(skipped))
     return {"arrays": arrays, "meta": meta}
 
 
@@ -237,7 +372,8 @@ def _layer_prefix(cfg, i: int) -> str:
     return mod.layer_prefix(i)
 
 
-def _pack_mlp(lp, cfg, params, layer_qcfg, tile_k, arrays, meta):
+def _pack_mlp(lp, cfg, params, layer_qcfg, tile_k, arrays, meta,
+              xa_width=8, out_width=8):
     """Pack a layer's whole MLP for the megakernel under ``{lp}.mlp_fused``
     (gate/up/down + low-rank + biases in one prep; ONE launch at decode)."""
     from ..ops.pallas.mlp_fused import prepare_mlp_weights
@@ -277,6 +413,8 @@ def _pack_mlp(lp, cfg, params, layer_qcfg, tile_k, arrays, meta):
         "tile_i": _pick_tile_n(prep["pg"].shape[1]),
         "tile_n": _pick_tile_n(prep["pd"].shape[1]),
         "act_width": int(qc_down.x_cfg["width"]),
+        "xa_width": xa_width,
+        "out_width": out_width,
     }
     members = {f"{lp}.{gate_rel}", f"{lp}.{down_rel}"}
     if up_rel:
@@ -307,6 +445,7 @@ def serving_mlp(
     y = mlp_w4_fused(
         x_q, prep, tile_m=128, tile_i=prep["tile_i"],
         tile_n=prep["tile_n"], act_width=prep["act_width"],
+        quant_xa_width=prep["xa_width"], quant_out_width=prep["out_width"],
         out_dtype=jnp.float32, interpret=interpret,
     )
     return y.reshape(b, s, -1).astype(x.dtype)
@@ -332,6 +471,8 @@ def serving_linear(
         prep,
         tile_m=128,
         tile_n=prep["tile_n"],
+        quant_xa_width=prep["xa_width"],
+        quant_out_width=prep["out_width"],
         out_dtype=jnp.float32,
         interpret=interpret,
     )

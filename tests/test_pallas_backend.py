@@ -115,6 +115,93 @@ def test_pallas_step_matches_emulation():
                                atol=1e-5, rtol=1e-5)
 
 
+def _variant_q_config(w=None, x=None, a_out=None, b_out=None):
+    q = {
+        "linear": {
+            "name": "flexible_lqer", "is_ptq": True,
+            "x_quantizer": x or _q(8, [1, 16], True),
+            "w_quantizer": w or _q(4, [1, 16], False),
+            "b_quantizer": _q(8, [1, 16], False),
+        },
+        "matmul": {"name": "flexible", "x_quantizer": _q(8, [1, 16], True),
+                   "w_quantizer": _q(8, [1, 16], True)},
+    }
+    if a_out is not None:
+        q["linear"]["A_out_quantizer"] = a_out
+    if b_out is not None:
+        q["linear"]["B_out_quantizer"] = b_out
+    return q
+
+
+def test_format_guard_falls_back_to_emulation():
+    """Non-canonical formats — the reference's W3 / integer-INT `[1,-1]` /
+    minifloat / W-only-passthrough sweep variants
+    (`sweep_lqer_act_int.sh:57-66`, `configs/template/opt-6.7b-int.toml`) —
+    must NOT pack for the fused kernel; the backend-routed forward then runs
+    the emulation fallback for every module and matches it bit-for-bit."""
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=256, layers=1, heads=4,
+                           kv_heads=2, inter=256, max_pos=64)
+    params = models.init_params(cfg, jax.random.PRNGKey(5))
+
+    variants = {
+        "w3": _variant_q_config(w=_q(3, [1, 16], False)),
+        "int_whole_row": _variant_q_config(w=_q(4, [1, -1], False)),
+        "minifloat_w": _variant_q_config(
+            w={"name": "minifloat", "width": 4, "exponent_width": 2,
+               "exponent_bias": None}),
+        "w_only_passthrough": _variant_q_config(
+            x={"name": "passthrough"},
+            a_out={"name": "passthrough"}, b_out={"name": "passthrough"}),
+        "odd_block_act": _variant_q_config(x=_q(8, [1, 32], True)),
+    }
+    ids = jnp.asarray([[3, 17, 42, 9]], dtype=jnp.int32)
+    from lqer_tpu.models import llama as llama_mod
+
+    for name, q in variants.items():
+        qcfgs = models.quantize_model(cfg, q, L_CONFIG)
+        backend = prepare_serving_params(params, cfg, qcfgs)
+        if name == "odd_block_act":
+            # [1,32]-block activations are still bf16-exact: the main GEMM
+            # may pack (x_quantizer runs outside the kernel) but the MLP
+            # megakernel (in-kernel act re-quant) must not
+            assert not any(k.endswith("mlp_fused") for k in backend["meta"])
+            continue
+        assert backend["meta"] == {}, (name, list(backend["meta"]))
+        pq = models.prepare_ptq(params, cfg, qcfgs)
+        ref = np.asarray(llama_mod.forward(pq, ids, cfg, qcfgs))
+        out = np.asarray(llama_mod.forward(pq, ids, cfg, qcfgs,
+                                           backend=backend))
+        np.testing.assert_array_equal(out, ref, err_msg=name)
+
+
+def test_format_guard_threads_widths():
+    """A non-default (but canonical-format) A_out width must pack and be
+    threaded into the kernel meta instead of silently serving width 8."""
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=256, layers=1, heads=4,
+                           kv_heads=2, inter=256, max_pos=64)
+    params = models.init_params(cfg, jax.random.PRNGKey(6))
+    q = _variant_q_config(a_out=_q(6, [1, 16], True))
+    qcfgs = models.quantize_model(cfg, q, L_CONFIG)
+    from lqer_tpu.ops import block_fp_quantizer
+
+    def ab_q(x):
+        return block_fp_quantizer(x, width=8, exponent_width=8,
+                                  block_size=[16, 1], skip_first_dim=False)
+
+    for i in range(cfg.num_hidden_layers):
+        for prefix, _ in models.quantizable_module_prefixes(cfg, i):
+            out_dim, in_dim = params[prefix + ".weight"].shape
+            params[prefix + ".A"] = ab_q(
+                jax.random.normal(jax.random.PRNGKey(i + 30), (in_dim, 32)) * 0.01)
+            params[prefix + ".B"] = ab_q(
+                jax.random.normal(jax.random.PRNGKey(i + 40), (32, out_dim)) * 0.01)
+    backend = prepare_serving_params(params, cfg, qcfgs)
+    assert backend["meta"], "canonical-format variant should pack"
+    for key, m in backend["meta"].items():
+        assert m["xa_width"] == 6, (key, m)
+        assert m["out_width"] == 8, (key, m)
+
+
 def test_engine_with_pallas_backend():
     """DecodeEngine routed through the fused kernel must emit the same
     tokens as the emulated engine (kernel-aligned dims, interpret on CPU)."""

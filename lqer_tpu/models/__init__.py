@@ -11,6 +11,7 @@ params; `load_low_rank_dict` is a flat dict update (the reference's
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax.numpy as jnp
@@ -57,6 +58,19 @@ MODEL_CONFIGS: dict[str, Callable] = {
         hidden_size=5120, intermediate_size=13824, num_hidden_layers=40,
         num_attention_heads=40,
     ),
+    "huggyllama/llama-30b": lambda: LlamaConfig(
+        hidden_size=6656, intermediate_size=17920, num_hidden_layers=60,
+        num_attention_heads=52,
+    ),
+    "huggyllama/llama-65b": lambda: LlamaConfig(
+        hidden_size=8192, intermediate_size=22016, num_hidden_layers=80,
+        num_attention_heads=64,
+    ),
+    "TinyLlama/TinyLlama-1.1B-Chat-v1.0": lambda: LlamaConfig(
+        hidden_size=2048, intermediate_size=5632, num_hidden_layers=22,
+        num_attention_heads=32, num_key_value_heads=4,
+        max_position_embeddings=2048, rms_norm_eps=1e-5,
+    ),
     "meta-llama/Llama-2-7b-hf": LlamaConfig.llama_7b,
     "meta-llama/Llama-2-13b-hf": lambda: LlamaConfig(
         hidden_size=5120, intermediate_size=13824, num_hidden_layers=40,
@@ -73,6 +87,11 @@ MODEL_CONFIGS: dict[str, Callable] = {
         num_attention_heads=40,
     ),
     "mistralai/Mistral-7B-v0.1": LlamaConfig.mistral_7b,
+    # the reference's mistral template uses the OpenOrca fine-tune
+    # (`configs/template/mistral-7b.toml:10`): same arch, 2 extra tokens
+    "Open-Orca/Mistral-7B-OpenOrca": lambda: dataclasses.replace(
+        LlamaConfig.mistral_7b(), vocab_size=32002
+    ),
 }
 
 

@@ -24,11 +24,12 @@ logger = get_logger("sweep")
 def build_overrides(method, rank, w_bits, x_bits, w_block, x_block,
                     save_dir, num_profile_samples):
     """The override set of one sweep point (`sweep_lqer_act.sh:41-74`)."""
+    approx_name = "lqer-act" if method.startswith("lqer-act") else method
     ov = [
         f"--project=lqer-sweep",
         f"--checkpoint_path={save_dir}",
         f"--profile:num_samples={num_profile_samples}",
-        f"--approximate:name={method}",
+        f"--approximate:name={approx_name}",
         # invariant: approximator quantizers ≡ eval quantizers
         f"--approximate:approximator:default:rank={rank}",
         f"--approximate:approximator:default:W_quantizer:width={w_bits}",
@@ -61,6 +62,25 @@ def build_overrides(method, rank, w_bits, x_bits, w_block, x_block,
             "--approximate:name=lqer-svd",
             "--evaluate:disable_lqer=:ast:True",
         ]
+    elif method in ("lqer-act-int", "lqer-act-w-only"):
+        # the reference's INT and W-only (W4A16) variants
+        # (`sweep_lqer_act_int.sh:52-66`, `sweep_lqer_act_w-only.sh`):
+        # activations/A_out/B_out/bmm/matmul all passthrough (emulated FP16),
+        # only the weight quantizer (and for -int its whole-row [1,-1]
+        # blocking) is active
+        drop = ("A_quantizer", "B_quantizer", "x_quantizer", "b_quantizer",
+                "bmm", "matmul")
+        ov = [o for o in ov if not any(d in o for d in drop)]
+        ov += [
+            "--approximate:approximator:default:A_quantizer:name=passthrough",
+            "--approximate:approximator:default:B_quantizer:name=passthrough",
+            "--q_config:linear:x_quantizer:name=passthrough",
+            "--q_config:linear:b_quantizer:name=passthrough",
+            "--q_config:bmm:w_quantizer:name=passthrough",
+            "--q_config:bmm:x_quantizer:name=passthrough",
+            "--q_config:matmul:w_quantizer:name=passthrough",
+            "--q_config:matmul:x_quantizer:name=passthrough",
+        ]
     return ov
 
 
@@ -68,7 +88,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="lqer-tpu sweep")
     ap.add_argument("template", type=str)
     ap.add_argument("--method", default="lqer-act",
-                    choices=["lqer-act", "lqer-svd", "no-lqer"])
+                    choices=["lqer-act", "lqer-svd", "no-lqer",
+                             "lqer-act-int", "lqer-act-w-only"])
     ap.add_argument("--ranks", type=int, nargs="+", default=[32])
     ap.add_argument("--w-bits", type=int, nargs="+", default=[4])
     ap.add_argument("--x-bits", type=int, nargs="+", default=[8])

@@ -49,6 +49,7 @@ from lqer_tpu.ops import block_fp_quantizer  # noqa: E402
 
 HID = 4096
 LAYERS = 32
+LAYERS_STACK = 8  # distinct stacked layers per scan (time scales by 32/8)
 RANK = 32
 M = 8  # decode batch
 TILE_K = 1024
@@ -66,15 +67,30 @@ DENSE_SHAPES = [
 ]
 
 
-def _bench(fn, iters=50, warmup=5):
-    for _ in range(warmup):
-        out = fn()
-    jax.block_until_ready(out)
+def _chain(fn, x0, iters):
+    x = x0
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        x = fn(x)
+    jax.block_until_ready(x)
+    return time.perf_counter() - t0
+
+
+def _bench(fn, x0, lo=8, hi=40, warmup=4):
+    """Marginal chained timing: ``fn(x) -> x_next`` so every iteration
+    depends on the previous (forces real serial execution — independent
+    dispatch loops have been measured above HBM speed-of-light through this
+    environment's remote relay). The relay also adds a large fixed
+    latency to each chained sequence, so the per-iteration time is taken as
+    the MARGINAL cost between a short and a long chain, cancelling the
+    fixed term."""
+    x = x0
+    for _ in range(warmup):
+        x = fn(x)
+    jax.block_until_ready(x)
+    t_lo = _chain(fn, x0, lo)
+    t_hi = _chain(fn, x0, hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
 
 
 def main():
@@ -92,60 +108,130 @@ def main():
         return jax.random.normal(k, shape, jnp.float32) * scale
 
     # ---- fused serving layout: qkv, o, mlp megakernel ----
-    key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+    # LAYERS_STACK distinct layers are stacked and scanned; the step time
+    # scales by LAYERS/LAYERS_STACK (every scan iteration re-streams its
+    # layer's weights from HBM, so 8 distinct layers stress HBM identically
+    # to 32 while keeping bench memory and setup time reasonable).
+    key, k5 = jax.random.split(key)
     x_hid = xq(k5, M, HID)
 
-    preps = []
-    for n_out, n_in in [(3 * HID, HID), (HID, HID)]:
+    preps_qkv, preps_o, mlp_preps = [], [], []
+    for li in range(LAYERS_STACK):
         key, ka, kb, kc = jax.random.split(key, 4)
-        preps.append(prepare_w4_weights(
-            rnd(ka, (n_out, n_in), 0.02), rnd(kb, (n_in, RANK), 0.01),
-            rnd(kc, (RANK, n_out), 0.01), None, tile_k=TILE_K,
+        preps_qkv.append(prepare_w4_weights(
+            rnd(ka, (3 * HID, HID), 0.02), rnd(kb, (HID, RANK), 0.01),
+            rnd(kc, (RANK, 3 * HID), 0.01), None, tile_k=TILE_K,
         ))
-    key, kg, ku, kd, ka1, kb1, ka2, kb2, ka3, kb3 = jax.random.split(key, 10)
-    mlp_prep = prepare_mlp_weights(
-        rnd(kg, (INTER_PAD, HID), 0.02), rnd(ku, (INTER_PAD, HID), 0.02),
-        rnd(kd, (HID, INTER_PAD), 0.02),
-        a_gate=rnd(ka1, (HID, RANK), 0.01), b_gate=rnd(kb1, (RANK, INTER_PAD), 0.01),
-        a_up=rnd(ka2, (HID, RANK), 0.01), b_up=rnd(kb2, (RANK, INTER_PAD), 0.01),
-        a_down=rnd(ka3, (INTER_PAD, RANK), 0.01), b_down=rnd(kb3, (RANK, HID), 0.01),
-        tile_k=TILE_K, tile_k2=TILE_K,
-    )
+        key, ka, kb, kc = jax.random.split(key, 4)
+        preps_o.append(prepare_w4_weights(
+            rnd(ka, (HID, HID), 0.02), rnd(kb, (HID, RANK), 0.01),
+            rnd(kc, (RANK, HID), 0.01), None, tile_k=TILE_K,
+        ))
+        key, kg, ku, kd, ka1, kb1, ka2, kb2, ka3, kb3 = jax.random.split(key, 10)
+        mlp_preps.append(prepare_mlp_weights(
+            rnd(kg, (INTER_PAD, HID), 0.02), rnd(ku, (INTER_PAD, HID), 0.02),
+            rnd(kd, (HID, INTER_PAD), 0.02),
+            a_gate=rnd(ka1, (HID, RANK), 0.01),
+            b_gate=rnd(kb1, (RANK, INTER_PAD), 0.01),
+            a_up=rnd(ka2, (HID, RANK), 0.01),
+            b_up=rnd(kb2, (RANK, INTER_PAD), 0.01),
+            a_down=rnd(ka3, (INTER_PAD, RANK), 0.01),
+            b_down=rnd(kb3, (RANK, HID), 0.01),
+            tile_k=TILE_K, tile_k2=TILE_K,
+        ))
 
-    def layer_fused():
-        qkv = qlinear_w4_fused(x_hid, preps[0], tile_m=8, tile_n=TILE_N,
-                               out_dtype=jnp.bfloat16)
-        o = qlinear_w4_fused(x_hid, preps[1], tile_m=8, tile_n=TILE_N,
-                             out_dtype=jnp.bfloat16)
-        mlp = mlp_w4_fused(x_hid, mlp_prep, tile_m=8, tile_i=TILE_N,
-                           tile_n=TILE_N, out_dtype=jnp.bfloat16)
-        return qkv, o, mlp
+    # ---- stack all LAYERS layers and lax.scan them inside ONE jit ----
+    # One model step = ONE device dispatch, exactly like the serving engine's
+    # scan decode. This sidesteps two measurement hazards of this
+    # environment's remote relay (verified empirically): independent
+    # dispatches can overlap across backend resources (reads above HBM
+    # speed-of-light), and serially-chained dispatches pay a large per-hop
+    # relay latency that buries the device time. Inside one scan, layer
+    # serialization is enforced by the real data dependency on device.
+    EPS = jnp.bfloat16(1e-4)
 
-    # ---- dense bf16 baseline, same shapes ----
-    dense_fns = []
+    def _stack(trees):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+    qkv_arr = _stack([{k: p[k] for k in ("packed", "exps", "a", "b")}
+                      for p in preps_qkv])
+    o_arr = _stack([{k: p[k] for k in ("packed", "exps", "a", "b")}
+                    for p in preps_o])
+    mlp_static = {k: mlp_preps[0][k]
+                  for k in ("gated", "fmt", "tile_k", "tile_k2")}
+    mlp_arr = _stack([
+        {k: v for k, v in p.items()
+         if k not in ("gated", "fmt", "tile_k", "tile_k2") and v is not None}
+        for p in mlp_preps
+    ])
+
+    @jax.jit
+    def step_fused(x, qkv_arr, o_arr, mlp_arr):
+        def layer(x, sl):
+            sq, so, sm = sl
+            pq = {**sq, "bias": None, "tile_k": TILE_K, "fmt": preps_qkv[0]["fmt"]}
+            po = {**so, "bias": None, "tile_k": TILE_K, "fmt": preps_qkv[0]["fmt"]}
+            pm = {**mlp_static, **sm,
+                  "pu": sm.get("pu"), "bias_g": None, "bias_u": None,
+                  "bias_d": None}
+            qkv = qlinear_w4_fused(x, pq, tile_m=8, tile_n=TILE_N,
+                                   out_dtype=jnp.bfloat16)
+            x1 = x + qkv[:, :HID] * EPS
+            o = qlinear_w4_fused(x1, po, tile_m=8, tile_n=TILE_N,
+                                 out_dtype=jnp.bfloat16)
+            x2 = x + o * EPS
+            mlp = mlp_w4_fused(x2, pm, tile_m=8, tile_i=TILE_N,
+                               tile_n=TILE_N, out_dtype=jnp.bfloat16)
+            return x + mlp * EPS, None
+
+        x, _ = jax.lax.scan(layer, x, (qkv_arr, o_arr, mlp_arr))
+        return x
+
+    def step_fused_fn(x):
+        return step_fused(x, qkv_arr, o_arr, mlp_arr)
+
+    # ---- dense bf16 baseline: same shapes, same scan structure ----
+    dense_ws = []
     for n_out, n_in in DENSE_SHAPES:
-        key, ka, kb = jax.random.split(key, 3)
-        w16 = rnd(ka, (n_out, n_in), 0.02).astype(jnp.bfloat16)
-        x = xq(kb, M, n_in)
-        dfn = jax.jit(lambda x, w16=w16: jnp.dot(
-            x, w16.T, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
-        dense_fns.append(lambda x=x, dfn=dfn: dfn(x))
+        key, ka = jax.random.split(key)
+        dense_ws.append(jnp.stack([
+            (jax.random.normal(jax.random.fold_in(ka, i), (n_in, n_out),
+                               jnp.float32) * 0.02).astype(jnp.bfloat16)
+            for i in range(LAYERS_STACK)
+        ]))
 
-    def layer_dense():
-        out = None
-        for fn in dense_fns:
-            out = fn()
-        return out
+    @jax.jit
+    def step_dense(x, ws):
+        def dot(a, w):
+            return jnp.dot(a, w, preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
 
-    iters = 50 if on_tpu else 2
+        def layer(x, sl):
+            w_qkv, w_o, w_gu, w_down = sl
+            qkv = dot(x, w_qkv)
+            x1 = x + qkv[:, :HID] * EPS
+            o = dot(x1, w_o)
+            x2 = x + o * EPS
+            gu = dot(x2, w_gu)
+            h = jnp.maximum(gu[:, :INTER_PAD], 0) * gu[:, INTER_PAD:]
+            return x + dot(h, w_down) * EPS, None
+
+        x, _ = jax.lax.scan(layer, x, tuple(ws))
+        return x
+
+    def step_dense_fn(x):
+        return step_dense(x, dense_ws)
+
+    scale = LAYERS // LAYERS_STACK
+    lo, hi = (8, 40) if on_tpu else (1, 3)
     repeats = REPEATS if on_tpu else 1
     trace_dir = os.environ.get("BENCH_TRACE")  # profiler capture (xprof)
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
     t_fused_runs, t_dense_runs = [], []
     for _ in range(repeats):
-        t_fused_runs.append(_bench(layer_fused, iters=iters) * LAYERS)
-        t_dense_runs.append(_bench(layer_dense, iters=iters) * LAYERS)
+        t_fused_runs.append(_bench(step_fused_fn, x_hid, lo, hi) * scale)
+        t_dense_runs.append(_bench(step_dense_fn, x_hid, lo, hi) * scale)
     if trace_dir:
         jax.profiler.stop_trace()
         print(f"[bench] profiler trace written to {trace_dir}", file=sys.stderr)

@@ -45,12 +45,10 @@ class JaxCausalLM(LM):
         self.engine = engine
 
     # -- helpers -----------------------------------------------------------
-    def _loglikelihood_tokens(self, context: list[int], continuation: list[int]):
-        ids = (context + continuation)[-self.max_length :]
-        n_ctx = len(ids) - len(continuation)
-        arr = jnp.asarray(np.array(ids, dtype=np.int32))[None, :]
-        logits = np.asarray(self.forward_fn(arr))[0]  # (s, vocab)
-        # predictions for continuation tokens come from positions n_ctx-1 ...
+    def _score_one(self, logits: np.ndarray, n_ctx: int,
+                   continuation: list[int]):
+        """Score a continuation from (s, vocab) logits where the sequence is
+        context+continuation and ``n_ctx`` is the context length."""
         logprobs = logits - _logsumexp(logits)
         ll = 0.0
         greedy = True
@@ -61,13 +59,67 @@ class JaxCausalLM(LM):
                 greedy = False
         return ll, greedy
 
+    def _loglikelihood_tokens(self, context: list[int], continuation: list[int]):
+        return self._loglikelihood_tokens_batched([(context, continuation)])[0]
+
+    def _loglikelihood_tokens_batched(self, pairs):
+        """Score (context, continuation) token pairs in padded batches of
+        ``self.batch_size``. Right-padding is safe under the causal mask
+        (positions before the pad are unaffected), so requests of different
+        lengths share one forward."""
+        prepped = []  # (ids, n_ctx, continuation)
+        for context, continuation in pairs:
+            ids = (list(context) + list(continuation))[-self.max_length:]
+            prepped.append((ids, len(ids) - len(continuation), continuation))
+        results: list = [None] * len(prepped)
+        # longest-first so each bucket's pad waste is small
+        order = sorted(range(len(prepped)), key=lambda i: -len(prepped[i][0]))
+        pad_id = 0
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start:start + self.batch_size]
+            width = max(len(prepped[i][0]) for i in chunk)
+            arr = np.full((len(chunk), width), pad_id, dtype=np.int32)
+            for row, i in enumerate(chunk):
+                ids = prepped[i][0]
+                arr[row, :len(ids)] = ids
+            logits = np.asarray(self.forward_fn(jnp.asarray(arr)))
+            for row, i in enumerate(chunk):
+                ids, n_ctx, cont = prepped[i]
+                results[i] = self._score_one(logits[row, :len(ids)], n_ctx,
+                                             cont)
+        return results
+
+    def _prefix_token(self) -> int:
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        if bos is None:
+            bos = getattr(self.tokenizer, "eos_token_id", None)
+        return int(bos or 0)
+
+    def _rolling_windows(self, ids: list[int]):
+        """Split a long token list into (context, continuation) windows that
+        score every token exactly once, each with maximal preceding context
+        within ``max_length`` (stride = max_length // 2, like HF's
+        strided-perplexity recipe; lm-eval's canonical splitter yields the
+        same coverage with window-sized strides)."""
+        prefix = [self._prefix_token()]
+        full = prefix + list(ids)
+        stride = max(self.max_length // 2, 1)
+        windows = []
+        start = 1  # first scored token is full[1] (= ids[0])
+        while start < len(full):
+            cont = full[start:start + stride]
+            ctx_lo = max(0, start - (self.max_length - len(cont)))
+            windows.append((full[ctx_lo:start], cont))
+            start += len(cont)
+        return windows
+
     # -- LM interface ------------------------------------------------------
     def loglikelihood(self, requests):
-        out = []
+        pairs = []
         for req in requests:
             context, continuation = req.args
             if context == "":
-                ctx_ids = [self.tokenizer.bos_token_id or self.tokenizer.eos_token_id]
+                ctx_ids = [self._prefix_token()]
             else:
                 ctx_ids = self.tokenizer.encode(context)
             cont_ids = self.tokenizer.encode(continuation)
@@ -75,18 +127,19 @@ class JaxCausalLM(LM):
             joint = self.tokenizer.encode(context + continuation)
             if joint[: len(ctx_ids)] == ctx_ids:
                 cont_ids = joint[len(ctx_ids):]
-            out.append(self._loglikelihood_tokens(ctx_ids, cont_ids))
-        return out
+            pairs.append((ctx_ids, cont_ids))
+        return self._loglikelihood_tokens_batched(pairs)
 
     def loglikelihood_rolling(self, requests):
+        """Full-text loglikelihood, strided over ``max_length`` windows so
+        long texts are scored completely instead of truncated."""
         out = []
         for req in requests:
             (text,) = req.args
             ids = self.tokenizer.encode(text)
-            ll, _ = self._loglikelihood_tokens(
-                [self.tokenizer.bos_token_id or self.tokenizer.eos_token_id], ids
-            )
-            out.append(ll)
+            windows = self._rolling_windows(ids)
+            scores = self._loglikelihood_tokens_batched(windows)
+            out.append(sum(ll for ll, _ in scores))
         return out
 
     def generate_until(self, requests):

@@ -1,6 +1,7 @@
 from .quantizers import (
     block_fp_quantizer,
     get_quantizer,
+    integer_fraction,
     integer_quantizer,
     make_quantizer,
     minifloat_denorm_quantizer,
@@ -10,6 +11,7 @@ from .quantizers import (
 
 __all__ = [
     "block_fp_quantizer",
+    "integer_fraction",
     "integer_quantizer",
     "minifloat_denorm_quantizer",
     "minifloat_ieee_quantizer",

@@ -197,6 +197,21 @@ def _minifloat_ieee_core(
     return q.astype(orig_dtype)
 
 
+def integer_fraction(
+    width: int, frac_choices, min_value: float, max_value: float
+) -> int:
+    """Pick a fraction width for a fixed-point format that covers
+    ``[min_value, max_value]`` with ``width`` total bits, restricted to
+    ``frac_choices`` (`integer.py:81-88`): integer part sized to the max
+    half-range (floor-log2 + sign + headroom bit), remainder to fraction."""
+    import math
+
+    max_half_range = max(abs(min_value), abs(max_value))
+    int_width = int(math.log2(max(0.5, max_half_range))) + 2
+    frac_width = max(0, width - int_width)
+    return max(filter(lambda c: c <= frac_width, frac_choices))
+
+
 def passthrough_quantizer(x: jnp.ndarray, *args, **kwargs) -> jnp.ndarray:
     """Identity — emulates FP16 activations in W-only configs
     (`passthrough.py:1-2`)."""

@@ -45,6 +45,7 @@ class TestMX8Codec:
 
 
 class TestQuantizedAllGather:
+    @pytest.mark.slow
     def test_matches_plain_gather_of_quantized(self):
         mesh = _mesh()
         x = jax.random.normal(jax.random.PRNGKey(1), (16, 64))
@@ -72,6 +73,7 @@ class TestQuantizedAllGather:
 
 
 class TestQuantizedPsumScatter:
+    @pytest.mark.slow
     def test_close_to_exact_reduce_scatter(self):
         mesh = _mesh()
         x = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 64))

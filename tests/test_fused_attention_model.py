@@ -1,6 +1,7 @@
 """Llama forward with fused Pallas attention vs the eager quantized path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +30,7 @@ Q_CONFIG = {
 L_CONFIG = {"linear": {"rank": 8}}
 
 
+@pytest.mark.slow
 def test_fused_attention_forward_matches_eager():
     cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=2,
                            kv_heads=2, inter=96, max_pos=64)

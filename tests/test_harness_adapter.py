@@ -3,6 +3,7 @@ tokenizer — lm_eval itself is not installed in this environment, but the
 loglikelihood/greedy logic must still be correct."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -27,8 +28,9 @@ def _uniform_forward(vocab=50, favored=None):
         ids = np.asarray(ids)
         b, s = ids.shape
         logits = np.full((b, s, vocab), -10.0, dtype=np.float32)
+        rows = np.arange(b)
         for i in range(s):
-            logits[:, i, (ids[:, i] + 1) % vocab] = 10.0
+            logits[rows, i, (ids[:, i] + 1) % vocab] = 10.0
         return jnp.asarray(logits)
 
     return fwd
@@ -63,6 +65,64 @@ def test_normalized_logprobs():
     assert ll <= 0.0
 
 
+def test_batched_loglikelihood_matches_sequential():
+    """Padded-batch scoring must agree exactly with one-at-a-time scoring
+    (right padding is causal-safe)."""
+    lm1 = JaxCausalLM(_uniform_forward(), FakeTok(), max_length=64,
+                      batch_size=1)
+    lm4 = JaxCausalLM(_uniform_forward(), FakeTok(), max_length=64,
+                      batch_size=4)
+    pairs = [
+        ([3, 4], [5, 6]),
+        ([10], [11, 12, 13]),
+        ([7, 8, 9, 10, 11], [12]),
+        ([1], [9, 9]),
+        ([2, 3, 4], [5]),
+    ]
+    a = lm1._loglikelihood_tokens_batched(pairs)
+    b = lm4._loglikelihood_tokens_batched(pairs)
+    for (ll1, g1), (ll4, g4) in zip(a, b):
+        assert g1 == g4
+        np.testing.assert_allclose(ll1, ll4, rtol=1e-6, atol=1e-6)
+
+
+def test_rolling_windows_cover_all_tokens_once():
+    lm = JaxCausalLM(_uniform_forward(), FakeTok(), max_length=8)
+    ids = list(range(1, 30))
+    windows = lm._rolling_windows(ids)
+    scored = [t for _, cont in windows for t in cont]
+    assert scored == ids  # disjoint, complete, in order
+    for ctx, cont in windows:
+        assert len(ctx) >= 1
+        assert len(ctx) + len(cont) <= lm.max_length
+    # later windows carry maximal context
+    assert all(len(ctx) + len(cont) == lm.max_length
+               for ctx, cont in windows[1:-1] or [])
+
+
+def test_rolling_loglikelihood_scores_long_text():
+    """A text longer than max_length must be fully scored (the old adapter
+    truncated to the last max_length tokens)."""
+    lm = JaxCausalLM(_uniform_forward(), FakeTok(), max_length=8,
+                     batch_size=2)
+
+    class Req:
+        # 40 chars -> 40 tokens, max_length 8
+        args = ("a" * 40,)
+
+    (ll,) = lm.loglikelihood_rolling([Req()])
+    # each token is scored: ll is a sum of 40 per-token logprobs, all <= 0
+    assert ll <= 0.0
+    # every token identical ("a"): under the +1-rule forward nothing is
+    # greedy, so the ll must be strongly negative — and scale with length
+    class Short:
+        args = ("a" * 10,)
+
+    (ll_short,) = lm.loglikelihood_rolling([Short()])
+    assert ll < ll_short < 0.0
+
+
+@pytest.mark.slow
 def test_generate_until_via_engine():
     """generate_until should use the decode engine when provided."""
     import jax

@@ -45,7 +45,8 @@ def _emulate(x_q, wg, wu, wd, abs_, biases, gated):
 
 
 @pytest.mark.parametrize("gated,rank,bias", [
-    (True, 32, False),   # llama MLP with LQER correction
+    # llama MLP with LQER correction — the heaviest interpret-mode compile
+    pytest.param(True, 32, False, marks=pytest.mark.slow),
     (True, 0, False),    # llama MLP, no correction
     (False, 32, True),   # OPT fc1/relu/fc2 with biases + correction
 ])

@@ -5,6 +5,7 @@ the verify recipe). Model dims are kernel-aligned (multiples of 256/128).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -226,6 +227,7 @@ def test_engine_with_pallas_backend():
     assert fused == emulated, (fused, emulated)
 
 
+@pytest.mark.slow
 def test_engine_decode_attention_kernel_path():
     """max_len >= 128 engages the fused decode-attention kernel inside the
     engine; tokens must match the eager-attention engine exactly."""

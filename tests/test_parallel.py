@@ -81,6 +81,7 @@ class TestShardedForwardParity:
 
 
 class TestShardedTrainStep:
+    @pytest.mark.slow
     def test_train_step_runs_and_descends(self):
         cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
                                kv_heads=2, inter=128)

@@ -330,6 +330,17 @@ class TestParityOther:
         ).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=0, atol=0)
 
+    @pytest.mark.parametrize(
+        "width,lo,hi", [(8, -3.0, 7.5), (8, -0.2, 0.4), (16, -300.0, 10.0)]
+    )
+    def test_integer_fraction_parity(self, width, lo, hi):
+        from lqer_tpu.ops import integer_fraction
+
+        choices = [0, 1, 2, 4, 8, 12]
+        ours = integer_fraction(width, choices, lo, hi)
+        theirs = REF.integer.integer_fraction(width, choices, lo, hi)
+        assert ours == theirs
+
     @pytest.mark.parametrize("width,ew", [(8, 4), (8, 3), (6, 3)])
     def test_minifloat_ieee_parity(self, width, ew):
         import torch

@@ -99,6 +99,7 @@ OPT_Q_CONFIG = {
 }
 
 
+@pytest.mark.slow
 def test_opt_scan_decode_matches_unrolled():
     from lqer_tpu.models import OPTConfig
 
@@ -122,6 +123,7 @@ def test_opt_scan_decode_matches_unrolled():
     assert run(True, "mxint8") == run(False, "mxint8")
 
 
+@pytest.mark.slow
 def test_opt_scan_decode_matches_unrolled_pallas():
     from lqer_tpu.models import OPTConfig
 

@@ -52,7 +52,12 @@ def _greedy_reference(params, cfg, qcfgs, prompt, n_new):
     return out
 
 
-@pytest.mark.parametrize("arch", ["llama", "opt"])
+@pytest.mark.parametrize("arch", [
+    # llama is covered by the scan-decode and pallas-backend tests; the
+    # eager llama variant is the slowest compile in the suite
+    pytest.param("llama", marks=pytest.mark.slow),
+    "opt",
+])
 def test_cached_decode_matches_full_forward(arch):
     if arch == "llama":
         cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
@@ -84,6 +89,7 @@ def test_cached_decode_matches_full_forward(arch):
     assert got == ref, (got, ref)
 
 
+@pytest.mark.slow
 def test_cached_decode_quantized_lqer():
     cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
                            kv_heads=2, inter=96)

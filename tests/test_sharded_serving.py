@@ -37,6 +37,7 @@ Q_CONFIG = {
 L_CONFIG = {"linear": {"rank": 8}}
 
 
+@pytest.mark.slow
 def test_sharded_engine_matches_single_device():
     cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
                            kv_heads=2, inter=128)

@@ -186,6 +186,42 @@ def attn_qcfg_equal(a, b) -> bool:
     )
 
 
+def layer_qcfg_equal(a: dict, b: dict) -> bool:
+    """Equality of two resolved per-layer configs (quantizer callables are
+    memoized per distinct config, so identity-based dataclass equality is
+    exact)."""
+    if set(a) != set(b):
+        return False
+    for k in a:
+        if k == "attn":
+            if not attn_qcfg_equal(a[k], b[k]):
+                return False
+        elif a[k] != b[k]:
+            return False
+    return True
+
+
+def layer_qcfg_segments(layer_qcfgs, num_layers: int):
+    """Consecutive [start, end) runs of layers sharing one resolved config.
+
+    The scan paths trace ONE layer body per segment, so a model with
+    ``model_layer_{i}`` overrides (`llama_decoder.py:423-482` — the
+    reference's per-layer mixed-precision surface) costs one compile per
+    distinct run of configs instead of falling back to a fully unrolled
+    forward."""
+    if layer_qcfgs is None:
+        return [(0, num_layers, None)]
+    assert len(layer_qcfgs) == num_layers
+    segments = []
+    start = 0
+    for i in range(1, num_layers):
+        if not layer_qcfg_equal(layer_qcfgs[i], layer_qcfgs[start]):
+            segments.append((start, i, layer_qcfgs[start]))
+            start = i
+    segments.append((start, num_layers, layer_qcfgs[start]))
+    return segments
+
+
 def layer_qcfgs_uniform(layer_qcfgs) -> bool:
     """True when every layer resolved to the same quantizer configuration —
     the requirement for the lax.scan decode path (one traced layer body).

@@ -313,7 +313,7 @@ def forward_scan(
     params: dict,
     input_ids: jnp.ndarray,
     cfg: LlamaConfig,
-    layer_qcfg: dict | None = None,
+    layer_qcfg: dict | list | None = None,
     stacked: dict | None = None,
     rest: dict | None = None,
 ) -> jnp.ndarray:
@@ -321,15 +321,22 @@ def forward_scan(
     decoder layer regardless of depth (TPU-first: the reference's per-layer
     module swap has no analogue of this).
 
-    ``layer_qcfg`` is ONE resolved layer config applied to every layer —
-    per-layer heterogeneous configs need the unrolled `forward`.
-    Pass precomputed (stacked, rest) to amortize the stacking.
+    ``layer_qcfg`` is ONE resolved layer config applied to every layer, or
+    the full per-layer list — heterogeneous ``model_layer_{i}`` overrides
+    (the reference's mixed-precision surface, `llama_decoder.py:423-482`)
+    scan per config segment. Pass precomputed (stacked, rest) to amortize
+    the stacking.
     """
+    from .config_expand import layer_qcfg_segments
     from .fp_config import FP_LAYER_LLAMA
 
     if stacked is None or rest is None:
         stacked, rest = stack_layer_params(params, cfg)
-    q = layer_qcfg if layer_qcfg is not None else FP_LAYER_LLAMA
+    if isinstance(layer_qcfg, (list, tuple)):
+        segments = layer_qcfg_segments(list(layer_qcfg), cfg.num_hidden_layers)
+    else:
+        segments = [(0, cfg.num_hidden_layers,
+                     layer_qcfg if layer_qcfg is not None else FP_LAYER_LLAMA)]
 
     b, s = input_ids.shape
     embed = rest["model.embed_tokens.weight"]
@@ -342,7 +349,6 @@ def forward_scan(
     else:
         mask = causal_mask(s, dtype=h.dtype)
 
-    attn_cfg = q["attn"]
     n_rep = cfg.num_attention_heads // cfg.kv_heads
 
     def rel_mod(sl: dict, rel: str) -> dict:
@@ -353,36 +359,43 @@ def forward_scan(
             "B": sl.get(f"{rel}.B"),
         }
 
-    def body(h, sl):
-        residual = h
-        hn = rms_norm(h, rel_mod(sl, "input_layernorm"), cfg.rms_norm_eps)
-        qh = project_heads(hn, rel_mod(sl, "self_attn.q_proj"), attn_cfg.q_proj,
-                           cfg.num_attention_heads)
-        kh = project_heads(hn, rel_mod(sl, "self_attn.k_proj"), attn_cfg.k_proj,
-                           cfg.kv_heads)
-        vh = project_heads(hn, rel_mod(sl, "self_attn.v_proj"), attn_cfg.v_proj,
-                           cfg.kv_heads)
-        qh, kh = apply_rotary(qh, kh, cos, sin, positions)
-        kh = repeat_kv(kh, n_rep)
-        vh = repeat_kv(vh, n_rep)
-        attn = eager_attention(
-            qh, kh, vh, mask, attn_cfg.qk_matmul, attn_cfg.pv_matmul,
-            scaling=cfg.head_dim**-0.5, scale_query=False,
-        )
-        attn = qlinear(merge_heads(attn), rel_mod(sl, "self_attn.o_proj"),
-                       attn_cfg.o_proj)
-        h = residual + attn
+    def make_body(q):
+        attn_cfg = q["attn"]
 
-        residual = h
-        hn = rms_norm(h, rel_mod(sl, "post_attention_layernorm"),
-                      cfg.rms_norm_eps)
-        gate = qlinear(hn, rel_mod(sl, "mlp.gate_proj"), q["gate_proj"])
-        up = qlinear(hn, rel_mod(sl, "mlp.up_proj"), q["up_proj"])
-        h = residual + qlinear(jax.nn.silu(gate) * up,
-                               rel_mod(sl, "mlp.down_proj"), q["down_proj"])
-        return h, None
+        def body(h, sl):
+            residual = h
+            hn = rms_norm(h, rel_mod(sl, "input_layernorm"), cfg.rms_norm_eps)
+            qh = project_heads(hn, rel_mod(sl, "self_attn.q_proj"),
+                               attn_cfg.q_proj, cfg.num_attention_heads)
+            kh = project_heads(hn, rel_mod(sl, "self_attn.k_proj"),
+                               attn_cfg.k_proj, cfg.kv_heads)
+            vh = project_heads(hn, rel_mod(sl, "self_attn.v_proj"),
+                               attn_cfg.v_proj, cfg.kv_heads)
+            qh, kh = apply_rotary(qh, kh, cos, sin, positions)
+            kh = repeat_kv(kh, n_rep)
+            vh = repeat_kv(vh, n_rep)
+            attn = eager_attention(
+                qh, kh, vh, mask, attn_cfg.qk_matmul, attn_cfg.pv_matmul,
+                scaling=cfg.head_dim**-0.5, scale_query=False,
+            )
+            attn = qlinear(merge_heads(attn), rel_mod(sl, "self_attn.o_proj"),
+                           attn_cfg.o_proj)
+            h = residual + attn
 
-    h, _ = jax.lax.scan(body, h, stacked)
+            residual = h
+            hn = rms_norm(h, rel_mod(sl, "post_attention_layernorm"),
+                          cfg.rms_norm_eps)
+            gate = qlinear(hn, rel_mod(sl, "mlp.gate_proj"), q["gate_proj"])
+            up = qlinear(hn, rel_mod(sl, "mlp.up_proj"), q["up_proj"])
+            h = residual + qlinear(jax.nn.silu(gate) * up,
+                                   rel_mod(sl, "mlp.down_proj"), q["down_proj"])
+            return h, None
+
+        return body
+
+    for start, end, q in segments:
+        seg = jax.tree_util.tree_map(lambda a: a[start:end], stacked)
+        h, _ = jax.lax.scan(make_body(q), h, seg)
     h = rms_norm(h, _mod(rest, "model.norm"), cfg.rms_norm_eps)
     lm_head = rest.get("lm_head.weight", embed)
     return jnp.matmul(h, lm_head.T)

@@ -65,6 +65,32 @@ def _quantize_rows_mx(x: jnp.ndarray, mb: int, group: int = 16) -> jnp.ndarray:
     return q.reshape(n, m).T
 
 
+def _dot_w4(x, p_ref, e_ref, mb: int, group: int) -> jnp.ndarray:
+    """``x @ dequant(W4_tile)`` as TWO half-K dots on the separately-scaled
+    nibble planes of the K-split layout (low nibbles = first half of the K
+    tile, high = second). Skipping the sublane concat that a single full-K
+    dot needs is ~25% faster on this kernel's decode shapes (marginal-chained
+    scan measurement, experiments/bench_dequant_variants.py; an earlier
+    unchained measurement that preferred the concat was an artifact of the
+    remote relay overlapping independent dispatches)."""
+    p = p_ref[:].astype(jnp.int32)  # (TK/2, TN)
+    low = (p << 28) >> 28
+    high = (p << 24) >> 28
+    scale = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)  # (TK/g, TN)
+    tk2, tn = low.shape
+    hg = tk2 // group
+
+    def scaled(codes, s):
+        c = codes.astype(jnp.float32)
+        return (c.reshape(hg, group, tn) * s[:, None, :]
+                ).reshape(tk2, tn).astype(jnp.bfloat16)
+
+    acc = jnp.dot(x[:, :tk2], scaled(low, scale[:hg]),
+                  preferred_element_type=jnp.float32)
+    return acc + jnp.dot(x[:, tk2:], scaled(high, scale[hg:]),
+                         preferred_element_type=jnp.float32)
+
+
 def _kernel(
     x_ref, p_ref, e_ref, a_ref, b_ref, bias_ref, o_ref, acc, xa,
     *, mb: int, tile_k: int, group: int, rank: int, has_bias: bool,
@@ -78,20 +104,8 @@ def _kernel(
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    # ---- unpack W4 tile: nibble shifts + sublane concat (K-split layout) ----
-    # (A split-X two-dot variant avoiding the concat measured ~15% slower on
-    # v5e — the single large dot wins; see experiments/bench_kernel_sweep.py.)
-    p = p_ref[:].astype(jnp.int32)  # (TK/2, TN)
-    low = (p << 28) >> 28
-    high = (p << 24) >> 28
-    codes = jnp.concatenate([low, high], axis=0).astype(jnp.float32)  # (TK, TN)
-    scale = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)  # (TK/g, TN)
-    tk, tn = codes.shape
-    w = (codes.reshape(tk // group, group, tn) * scale[:, None, :]).reshape(tk, tn)
-    w = w.astype(jnp.bfloat16)
-
     x = x_ref[:]
-    acc[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    acc[:] += _dot_w4(x, p_ref, e_ref, mb, group)
 
     # ---- rank-k partial: computed once per M tile (n == 0 sweep) ----
     # The tiny rank-k dots run with f32 operands: identical products (MXINT

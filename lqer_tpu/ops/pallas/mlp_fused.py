@@ -41,19 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..storage import MXINT4, MXFormat
-from .dequant_gemm import _quantize_rows_mx, prepare_w4_weights
-
-
-def _unpack_w4(p_ref, e_ref, mb: int, group: int) -> jnp.ndarray:
-    """Nibble-unpack + per-group scale (same as dequant_gemm._kernel)."""
-    p = p_ref[:].astype(jnp.int32)  # (TK/2, TN)
-    low = (p << 28) >> 28
-    high = (p << 24) >> 28
-    codes = jnp.concatenate([low, high], axis=0).astype(jnp.float32)
-    scale = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)
-    tk, tn = codes.shape
-    w = (codes.reshape(tk // group, group, tn) * scale[:, None, :]).reshape(tk, tn)
-    return w.astype(jnp.bfloat16)
+from .dequant_gemm import _dot_w4, _quantize_rows_mx, prepare_w4_weights
 
 
 def _corr(xa_val, b_ref, quant_xa_mb, quant_out_mb, lo=None, hi=None):
@@ -103,11 +91,9 @@ def _mlp_kernel(
                 acc_u[:] = jnp.zeros_like(acc_u)
 
         x = x_ref[:]
-        acc_g[:] += jnp.dot(x, _unpack_w4(pg_ref, eg_ref, mb, group),
-                            preferred_element_type=jnp.float32)
+        acc_g[:] += _dot_w4(x, pg_ref, eg_ref, mb, group)
         if gated:
-            acc_u[:] += jnp.dot(x, _unpack_w4(pu_ref, eu_ref, mb, group),
-                                preferred_element_type=jnp.float32)
+            acc_u[:] += _dot_w4(x, pu_ref, eu_ref, mb, group)
 
         if rank_gu > 0:
             @pl.when(i == 0)
@@ -153,8 +139,7 @@ def _mlp_kernel(
 
         h_tile = inter[:, pl.ds(k2 * tile_k2, tile_k2)]
         h_bf = h_tile.astype(jnp.bfloat16)
-        acc_d[:] += jnp.dot(h_bf, _unpack_w4(pd_ref, ed_ref, mb, group),
-                            preferred_element_type=jnp.float32)
+        acc_d[:] += _dot_w4(h_bf, pd_ref, ed_ref, mb, group)
 
         if rank_d > 0:
             @pl.when(n == 0)

@@ -477,13 +477,47 @@ def _cache_max_len(cache: dict) -> int:
             else cache["k"]).shape[3]
 
 
+def _q_segments(layer_qcfg, num_layers: int, default_q: dict):
+    """Normalize ``layer_qcfg`` (None | one dict | per-layer list) into
+    [(start, end, q)] segments of identical resolved configs."""
+    if layer_qcfg is None:
+        return [(0, num_layers, default_q)]
+    if isinstance(layer_qcfg, dict):
+        return [(0, num_layers, layer_qcfg)]
+    from ..models.config_expand import layer_qcfg_segments
+
+    return layer_qcfg_segments(list(layer_qcfg), num_layers)
+
+
+def _scan_segments(make_body, segments, h, stacked, cache, b_arrays):
+    """Run the layer scan per config segment (one traced body per distinct
+    run of per-layer configs — the reference's ``model_layer_{i}`` surface,
+    `llama_decoder.py:423-482`), re-joining the cache slices."""
+    if len(segments) == 1:
+        _, _, q = segments[0]
+        return jax.lax.scan(make_body(q), h, (stacked, cache, b_arrays))
+
+    def sl(tree, s, e):
+        return jax.tree_util.tree_map(lambda a: a[s:e], tree)
+
+    parts = []
+    for s, e, q in segments:
+        xs = (sl(stacked, s, e), sl(cache, s, e),
+              None if b_arrays is None else sl(b_arrays, s, e))
+        h, cache_part = jax.lax.scan(make_body(q), h, xs)
+        parts.append(cache_part)
+    cache = jax.tree_util.tree_map(
+        lambda *ps: jnp.concatenate(ps, axis=0), *parts)
+    return h, cache
+
+
 def llama_step_scan(
     params: dict,
     input_ids: jnp.ndarray,
     cache: dict,
     positions: jnp.ndarray,
     cfg,
-    layer_qcfg: dict | None,
+    layer_qcfg: dict | list | None,
     stacked: dict | None = None,
     rest: dict | None = None,
     backend_stacked: dict | None = None,
@@ -496,20 +530,18 @@ def llama_step_scan(
     scan as xs→ys: each step consumes its layer's cache slice and emits the
     updated slice.
 
-    Requires a UNIFORM per-layer quantizer config (`layer_qcfg` applied to
-    all layers); heterogeneous configs use the unrolled `model_step`.
+    ``layer_qcfg`` may be one config (uniform layers) or the full per-layer
+    list: heterogeneous ``model_layer_{i}`` overrides scan per config
+    segment (one traced body per distinct run of configs).
     """
     from ..models.fp_config import FP_LAYER_LLAMA
 
     if stacked is None or rest is None:
         stacked, rest = llama_mod.stack_layer_params(params, cfg)
-    q = layer_qcfg if layer_qcfg is not None else FP_LAYER_LLAMA
-    attn_cfg = q["attn"]
+    segments = _q_segments(layer_qcfg, cfg.num_hidden_layers, FP_LAYER_LLAMA)
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
-    use_ak = _use_attn_kernel(backend_stacked, s, attn_cfg, max_len,
-                              cfg.head_dim)
     embed = rest["model.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     q_abs = _abs_positions(positions, s)
@@ -525,54 +557,62 @@ def llama_step_scan(
     def rel_mod(sl, rel):
         return {k: sl.get(f"{rel}.{k}") for k in ("weight", "bias", "A", "B")}
 
-    def body(h, xs):
-        sl, cache_sl, bsl = xs
-        residual = h
-        hn = rms_norm(h, rel_mod(sl, "input_layernorm"), cfg.rms_norm_eps)
-        qy, ky, vy = _lin_group_slice(
-            hn, sl, "self_attn.qkv_proj",
-            ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
-            (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj),
-            b_meta, bsl,
-        )
-        qh = _heads(qy, cfg.num_attention_heads)
-        kh = _heads(ky, cfg.kv_heads)
-        vh = _heads(vy, cfg.kv_heads)
-        qh, kh = llama_mod.apply_rotary(qh, kh, cos, sin, q_abs)
-        if kv_valid is not None:
-            kh = kh * kv_valid[:, None, :, None]
-            vh = vh * kv_valid[:, None, :, None]
+    def make_body(q):
+        attn_cfg = q["attn"]
+        use_ak = _use_attn_kernel(backend_stacked, s, attn_cfg, max_len,
+                                  cfg.head_dim)
 
-        new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
-                                              h.dtype)
-
-        attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
-                            n_rep, False, positions,
-                            getattr(cfg, "sliding_window", None), use_ak)
-        attn = _lin_slice(merge_heads(attn), sl, "self_attn.o_proj",
-                          attn_cfg.o_proj, b_meta, bsl)
-        h = residual + attn
-
-        residual = h
-        hn = rms_norm(h, rel_mod(sl, "post_attention_layernorm"),
-                      cfg.rms_norm_eps)
-        y = _mlp_fused_or_none(hn, None, q["gate_proj"], q["down_proj"],
-                               None, backend_meta=b_meta, backend_slice=bsl)
-        if y is None:
-            gate, up = _lin_group_slice(
-                hn, sl, "mlp.gateup_proj",
-                ("mlp.gate_proj", "mlp.up_proj"),
-                (q["gate_proj"], q["up_proj"]),
+        def body(h, xs):
+            sl, cache_sl, bsl = xs
+            residual = h
+            hn = rms_norm(h, rel_mod(sl, "input_layernorm"), cfg.rms_norm_eps)
+            qy, ky, vy = _lin_group_slice(
+                hn, sl, "self_attn.qkv_proj",
+                ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+                (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj),
                 b_meta, bsl,
             )
-            y = _lin_slice(jax.nn.silu(gate) * up, sl,
-                           "mlp.down_proj", q["down_proj"], b_meta, bsl)
-        h = residual + y
-        return h, new_sl
+            qh = _heads(qy, cfg.num_attention_heads)
+            kh = _heads(ky, cfg.kv_heads)
+            vh = _heads(vy, cfg.kv_heads)
+            qh, kh = llama_mod.apply_rotary(qh, kh, cos, sin, q_abs)
+            if kv_valid is not None:
+                kh = kh * kv_valid[:, None, :, None]
+                vh = vh * kv_valid[:, None, :, None]
+
+            new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
+                                                  h.dtype)
+
+            attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg,
+                                cfg.head_dim**-0.5, n_rep, False, positions,
+                                getattr(cfg, "sliding_window", None), use_ak)
+            attn = _lin_slice(merge_heads(attn), sl, "self_attn.o_proj",
+                              attn_cfg.o_proj, b_meta, bsl)
+            h = residual + attn
+
+            residual = h
+            hn = rms_norm(h, rel_mod(sl, "post_attention_layernorm"),
+                          cfg.rms_norm_eps)
+            y = _mlp_fused_or_none(hn, None, q["gate_proj"], q["down_proj"],
+                                   None, backend_meta=b_meta,
+                                   backend_slice=bsl)
+            if y is None:
+                gate, up = _lin_group_slice(
+                    hn, sl, "mlp.gateup_proj",
+                    ("mlp.gate_proj", "mlp.up_proj"),
+                    (q["gate_proj"], q["up_proj"]),
+                    b_meta, bsl,
+                )
+                y = _lin_slice(jax.nn.silu(gate) * up, sl,
+                               "mlp.down_proj", q["down_proj"], b_meta, bsl)
+            h = residual + y
+            return h, new_sl
+
+        return body
 
     b_arrays = None if backend_stacked is None else backend_stacked["arrays"]
-    xs = (stacked, cache, b_arrays)
-    h, cache = jax.lax.scan(body, h, xs)
+    h, cache = _scan_segments(make_body, segments, h, stacked, cache,
+                              b_arrays)
 
     h = rms_norm(h, {"weight": rest["model.norm.weight"],
                      "bias": rest.get("model.norm.bias")}, cfg.rms_norm_eps)
@@ -593,20 +633,17 @@ def opt_step_scan(
     valid_lengths: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """OPT analogue of :func:`llama_step_scan` (same xs→ys cache threading,
-    fp or MXINT8-quantized; uniform per-layer config required). Pre-LN and
-    post-LN (`do_layer_norm_before`) variants both supported; project_in/out
-    (OPT-350m) live in ``rest``."""
+    fp or MXINT8-quantized; heterogeneous per-layer configs scan per config
+    segment). Pre-LN and post-LN (`do_layer_norm_before`) variants both
+    supported; project_in/out (OPT-350m) live in ``rest``."""
     from ..models.fp_config import FP_LAYER_OPT
 
     if stacked is None or rest is None:
         stacked, rest = opt_mod.stack_layer_params(params, cfg)
-    q = layer_qcfg if layer_qcfg is not None else FP_LAYER_OPT
-    attn_cfg = q["attn"]
+    segments = _q_segments(layer_qcfg, cfg.num_hidden_layers, FP_LAYER_OPT)
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
-    use_ak = _use_attn_kernel(backend_stacked, s, attn_cfg, max_len,
-                              cfg.head_dim)
     embed = rest["model.decoder.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     if rest.get("model.decoder.project_in.weight") is not None:  # OPT-350m
@@ -622,51 +659,59 @@ def opt_step_scan(
     def rel_mod(sl, rel):
         return {k: sl.get(f"{rel}.{k}") for k in ("weight", "bias", "A", "B")}
 
-    def body(h, xs):
-        sl, cache_sl, bsl = xs
-        residual = h
-        hn = layer_norm(h, rel_mod(sl, "self_attn_layer_norm")) \
-            if cfg.do_layer_norm_before else h
-        qy, ky, vy = _lin_group_slice(
-            hn, sl, "self_attn.qkv_proj",
-            ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
-            (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj),
-            b_meta, bsl,
-        )
-        qh = _heads(qy, cfg.num_attention_heads)
-        kh = _heads(ky, cfg.num_attention_heads)
-        vh = _heads(vy, cfg.num_attention_heads)
-        if kv_valid is not None:
-            kh = kh * kv_valid[:, None, :, None]
-            vh = vh * kv_valid[:, None, :, None]
+    def make_body(q):
+        attn_cfg = q["attn"]
+        use_ak = _use_attn_kernel(backend_stacked, s, attn_cfg, max_len,
+                                  cfg.head_dim)
 
-        new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
-                                              h.dtype)
-        attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
-                            1, True, positions, None, use_ak)
-        attn = _lin_slice(merge_heads(attn), sl, "self_attn.out_proj",
-                          attn_cfg.o_proj, b_meta, bsl)
-        h = residual + attn
-        if not cfg.do_layer_norm_before:
-            h = layer_norm(h, rel_mod(sl, "self_attn_layer_norm"))
+        def body(h, xs):
+            sl, cache_sl, bsl = xs
+            residual = h
+            hn = layer_norm(h, rel_mod(sl, "self_attn_layer_norm")) \
+                if cfg.do_layer_norm_before else h
+            qy, ky, vy = _lin_group_slice(
+                hn, sl, "self_attn.qkv_proj",
+                ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+                (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj),
+                b_meta, bsl,
+            )
+            qh = _heads(qy, cfg.num_attention_heads)
+            kh = _heads(ky, cfg.num_attention_heads)
+            vh = _heads(vy, cfg.num_attention_heads)
+            if kv_valid is not None:
+                kh = kh * kv_valid[:, None, :, None]
+                vh = vh * kv_valid[:, None, :, None]
 
-        residual = h
-        hn = layer_norm(h, rel_mod(sl, "final_layer_norm")) \
-            if cfg.do_layer_norm_before else h
-        y = _mlp_fused_or_none(hn, None, q["fc1"], q["fc2"], None,
-                               backend_meta=b_meta, backend_slice=bsl)
-        if y is None:
-            y = _lin_slice(hn, sl, "fc1", q["fc1"], b_meta, bsl)
-            y = jax.nn.relu(y)
-            y = _lin_slice(y, sl, "fc2", q["fc2"], b_meta, bsl)
-        h = residual + y
-        if not cfg.do_layer_norm_before:
-            h = layer_norm(h, rel_mod(sl, "final_layer_norm"))
-        return h, new_sl
+            new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
+                                                  h.dtype)
+            attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg,
+                                cfg.head_dim**-0.5, 1, True, positions, None,
+                                use_ak)
+            attn = _lin_slice(merge_heads(attn), sl, "self_attn.out_proj",
+                              attn_cfg.o_proj, b_meta, bsl)
+            h = residual + attn
+            if not cfg.do_layer_norm_before:
+                h = layer_norm(h, rel_mod(sl, "self_attn_layer_norm"))
+
+            residual = h
+            hn = layer_norm(h, rel_mod(sl, "final_layer_norm")) \
+                if cfg.do_layer_norm_before else h
+            y = _mlp_fused_or_none(hn, None, q["fc1"], q["fc2"], None,
+                                   backend_meta=b_meta, backend_slice=bsl)
+            if y is None:
+                y = _lin_slice(hn, sl, "fc1", q["fc1"], b_meta, bsl)
+                y = jax.nn.relu(y)
+                y = _lin_slice(y, sl, "fc2", q["fc2"], b_meta, bsl)
+            h = residual + y
+            if not cfg.do_layer_norm_before:
+                h = layer_norm(h, rel_mod(sl, "final_layer_norm"))
+            return h, new_sl
+
+        return body
 
     b_arrays = None if backend_stacked is None else backend_stacked["arrays"]
-    xs = (stacked, cache, b_arrays)
-    h, cache = jax.lax.scan(body, h, xs)
+    h, cache = _scan_segments(make_body, segments, h, stacked, cache,
+                              b_arrays)
 
     if rest.get("model.decoder.final_layer_norm.weight") is not None:
         h = layer_norm(h, opt_mod._mod(rest, "model.decoder.final_layer_norm"))

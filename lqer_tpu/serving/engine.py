@@ -86,19 +86,19 @@ class DecodeEngine:
             from ..models.config_expand import layer_qcfgs_uniform
             from .decode import stack_backend
 
-            if not layer_qcfgs_uniform(layer_qcfgs):
-                raise ValueError(
-                    "scan_layers requires a uniform per-layer quantizer "
-                    "config (the scan traces ONE layer body); this model "
-                    "has heterogeneous model_layer_{i} overrides — use the "
-                    "unrolled step (scan_layers=False)"
-                )
             arch_mod = models.get_arch_module(cfg)
             self._stacked, self._rest = arch_mod.stack_layer_params(params, cfg)
             bs = stack_backend(backend, cfg)
             self._bs_meta = None if bs is None else bs["meta"]
             self._bs_arrays = None if bs is None else bs["arrays"]
-            layer_qcfg0 = None if layer_qcfgs is None else layer_qcfgs[0]
+            if layer_qcfgs is None:
+                layer_qcfg0 = None
+            elif layer_qcfgs_uniform(layer_qcfgs):
+                layer_qcfg0 = layer_qcfgs[0]
+            else:
+                # heterogeneous model_layer_{i} overrides: the step scans
+                # per config segment (decode._scan_segments)
+                layer_qcfg0 = list(layer_qcfgs)
         # only the packed arrays are traced jit arguments; tile sizes/formats
         # stay static via this closure
         b_arrays = None if backend is None else backend["arrays"]

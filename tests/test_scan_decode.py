@@ -141,13 +141,12 @@ def test_opt_scan_decode_matches_unrolled_pallas():
     assert scanned == unrolled, (scanned, unrolled)
 
 
-def test_scan_rejects_heterogeneous_configs():
-    """Silent wrong numerics guard: heterogeneous per-layer configs (the
-    reference's model_layer_{i} overrides) must be refused by the scan
-    engine (it would otherwise apply layer 0's config everywhere)."""
-    import pytest
-
-    cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
+def test_scan_heterogeneous_configs_match_unrolled():
+    """Heterogeneous per-layer configs (the reference's model_layer_{i}
+    mixed-precision surface, `llama_decoder.py:423-482`): the scan engine
+    splits the layer loop into config segments and must emit exactly the
+    unrolled engine's tokens — round 1 rejected this case outright."""
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=3, heads=4,
                            kv_heads=2, inter=96)
     params = models.init_params(cfg, jax.random.PRNGKey(0))
     # model_layer_{i} overrides REPLACE the whole layer template
@@ -166,11 +165,43 @@ def test_scan_rejects_heterogeneous_configs():
                 for p in ("gate_proj", "up_proj", "down_proj")},
     }
     qcfgs = models.quantize_model(cfg, q_het, L_CONFIG)
+    from lqer_tpu.models.config_expand import layer_qcfg_segments
+
+    assert len(layer_qcfg_segments(qcfgs, cfg.num_hidden_layers)) == 3
     params = models.prepare_ptq(params, cfg, qcfgs)
-    with pytest.raises(ValueError, match="uniform"):
-        DecodeEngine(params, cfg, qcfgs, num_slots=1, max_len=64,
-                     scan_layers=True)
-    # uniform configs still pass
-    qcfgs_u = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
-    DecodeEngine(params, cfg, qcfgs_u, num_slots=1, max_len=64,
-                 scan_layers=True)
+
+    def run(scan):
+        eng = DecodeEngine(params, cfg, qcfgs, num_slots=1, max_len=64,
+                           cache_dtype=jnp.float32, scan_layers=scan)
+        req = Request(prompt_ids=[3, 9, 27], max_new_tokens=4)
+        eng.run([req])
+        return req.output_ids
+
+    assert run(True) == run(False)
+
+
+def test_scan_forward_heterogeneous_matches_unrolled():
+    """Eval-path forward_scan with a per-layer config list == unrolled
+    forward, bit-for-bit (same quantizers per layer, same op order)."""
+    import numpy as np
+    from lqer_tpu.models import llama as llama_mod
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=3, heads=4,
+                           kv_heads=2, inter=96)
+    params = models.init_params(cfg, jax.random.PRNGKey(2))
+    lin6 = {**Q_CONFIG["linear"], "x_quantizer": _q(6, [1, 16], True)}
+    mm = Q_CONFIG["matmul"]
+    q_het = dict(Q_CONFIG)
+    q_het["model_layer_0"] = {
+        "self_attn": {
+            "q_proj": lin6, "k_proj": lin6, "v_proj": lin6, "o_proj": lin6,
+            "matmul_0": mm, "matmul_1": mm,
+        },
+        "mlp": {p: lin6 for p in ("gate_proj", "up_proj", "down_proj")},
+    }
+    qcfgs = models.quantize_model(cfg, q_het, L_CONFIG)
+    params = models.prepare_ptq(params, cfg, qcfgs)
+    ids = jnp.asarray([[3, 17, 42, 9]], dtype=jnp.int32)
+    ref = np.asarray(llama_mod.forward(params, ids, cfg, qcfgs))
+    out = np.asarray(llama_mod.forward_scan(params, ids, cfg, qcfgs))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)

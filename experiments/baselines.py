@@ -1,16 +1,21 @@
 #!/usr/bin/env python
-"""Baseline evaluation: FP16/FP32 (and any local HF checkpoint) with the
-same perplexity / harness code as the quantized pipeline.
+"""Baseline evaluation: FP16/FP32 and AWQ/GPTQ checkpoints with the same
+perplexity / harness code as the quantized pipeline.
 
-Equivalent of `/root/reference/experiments/baselines/baseline.py` (260 LoC).
-The reference also evaluates HF-ecosystem AWQ/GPTQ/LLM.int8() checkpoints via
-their CUDA kernels; those formats have no TPU runtime and no checkpoints
-exist in this offline environment — supported methods here are the
-precision baselines (fp32/bf16/fp16) on local checkpoints, which is the row
-every BASELINE.md comparison is anchored to.
+Equivalent of `/root/reference/experiments/baselines/baseline.py` (260 LoC)
++ `baseline_auto_gptq.py`. The reference evaluates HF-ecosystem
+AWQ/GPTQ/LLM.int8() checkpoints via their CUDA kernels; those kernels have
+no TPU runtime, so the 4-bit AWQ/GPTQ checkpoint formats are instead
+dequantized to fp (`lqer_tpu/models/quant_checkpoints.py` — weights-only
+quantization means the dequantized model computes the numbers those kernels
+represent) and evaluated through our standard forward. LLM.int8()/int4 are
+bitsandbytes runtime formats with no checkpoint artifact to decode — for
+their rows, evaluate the source fp checkpoint with the reference's table.
 
 Usage:
     python experiments/baselines.py <config.toml> --method fp32
+    python experiments/baselines.py <config.toml> --method gptq \
+        --model-dir /path/to/gptq-checkpoint
 """
 
 import argparse
@@ -35,19 +40,57 @@ from lqer_tpu.utils import get_logger, load_config  # noqa: E402
 logger = get_logger("baselines")
 
 METHOD_DTYPES = {"fp32": "float32", "bf16": "bfloat16", "fp16": "float16"}
+QUANT_METHODS = ("awq", "gptq")
+
+
+def build_dequantized_params(config, cfg, method: str, model_dir, dtype,
+                             gptq_no_zero_offset: bool = False):
+    """Load an AWQ/GPTQ checkpoint and decode its packed weights to fp."""
+    import jax.numpy as jnp
+
+    from lqer_tpu.models.checkpoint import (
+        load_hf_pretrained,
+        resolve_model_source,
+    )
+    from lqer_tpu.models.quant_checkpoints import dequantize_checkpoint
+
+    src = resolve_model_source(config["model_name"],
+                               model_dir or config.get("model_dir"))
+    if src is None:
+        raise FileNotFoundError(
+            f"--method {method} needs a local quantized checkpoint; pass "
+            "--model-dir or set model_dir in the config"
+        )
+    logger.info("dequantizing %s checkpoint from %s", method, src)
+    raw = load_hf_pretrained(src)
+    fp = dequantize_checkpoint(raw, fmt=method,
+                               zero_offset=not gptq_no_zero_offset)
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in fp.items()}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", type=str)
-    ap.add_argument("--method", default="fp32", choices=sorted(METHOD_DTYPES))
+    ap.add_argument("--method", default="fp32",
+                    choices=sorted(METHOD_DTYPES) + list(QUANT_METHODS))
+    ap.add_argument("--model-dir", type=str, default=None,
+                    help="local checkpoint dir (required for awq/gptq)")
+    ap.add_argument("--gptq-no-zero-offset", action="store_true",
+                    help="checkpoint stores zeros without the historical "
+                         "AutoGPTQ -1 offset (sym/gptqmodel-v2 exports)")
     ap.add_argument("--save-dir", type=str, default=None)
     args = ap.parse_args()
 
     config = load_config(args.config)
-    dtype = _get_dtype(METHOD_DTYPES[args.method])
+    dtype = _get_dtype(METHOD_DTYPES.get(args.method, "float32"))
     cfg = build_model_config(config)
-    params = build_params(config, cfg, dtype)
+    if args.method in QUANT_METHODS:
+        params = build_dequantized_params(
+            config, cfg, args.method, args.model_dir, dtype,
+            gptq_no_zero_offset=args.gptq_no_zero_offset,
+        )
+    else:
+        params = build_params(config, cfg, dtype)
 
     eval_ppl_config = config["evaluate"]["perplexity"]
     test = _get_split(eval_ppl_config, config, "test")

@@ -36,13 +36,21 @@ class JaxCausalLM(LM):
                  batch_size: int = 1, engine=None):
         """``engine``: optional `lqer_tpu.serving.DecodeEngine` — when given,
         `generate_until` decodes incrementally through the KV-cache engine
-        instead of re-running the full forward per token."""
+        instead of re-running the full forward per token. May also be a
+        zero-arg factory, built lazily on the first generation request (so
+        loglikelihood-only task suites never allocate the KV cache)."""
         super().__init__()
         self.forward_fn = forward_fn
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.batch_size = batch_size
-        self.engine = engine
+        self._engine = engine
+
+    @property
+    def engine(self):
+        if self._engine is not None and not hasattr(self._engine, "run"):
+            self._engine = self._engine()  # lazy factory
+        return self._engine
 
     # -- helpers -----------------------------------------------------------
     def _score_one(self, logits: np.ndarray, n_ctx: int,

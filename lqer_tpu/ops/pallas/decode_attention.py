@@ -25,7 +25,10 @@ Layout notes (Mosaic can reshape sublane groups, not lane groups): K arrives
 (d, L) so its 16-wide d groups lie along sublanes too; scores/probs live
 transposed as (L, 1) columns.
 
-Scope: s=1 decode with the fp-dtype cache, L ≤ ~8K VMEM-resident per head.
+Scope: s=1 decode, L ≤ ~8K VMEM-resident per head. Both cache layouts are
+covered: fp dtype (`decode_attention`) and MXINT8 codes+exponents decoded in
+VMEM (`decode_attention_quantized` — the 8.5-bit HBM stream the quantized
+cache exists for).
 """
 
 from __future__ import annotations
@@ -185,6 +188,143 @@ def decode_attention(
         ),
         interpret=interpret,
     )(positions.astype(jnp.int32), q, k_cache, v_cache)
+
+
+def _kernel_quantized(pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref, o_ref,
+                      *, scaling, scale_query, window, group, q_mb, k_mb,
+                      p_mb, v_mb, n_rep, cache_mb):
+    """Quantized-cache variant: K/V arrive as MXINT8 codes + per-16-wide
+    d-group exponents (`serving.kv_cache.init_quantized_kv_cache`) and decode
+    IN VMEM — the HBM stream is 8.5 bits/value instead of 16/32, and the
+    whole-cache decode the eager path materializes through XLA disappears.
+    Use-time quantizations then match the eager path exactly: K re-quantizes
+    per 16-token group for QK^T; V's cache format IS the P·V operand format
+    (d-groups), and the eager path still applies its v_quantizer on the
+    decoded values, so the same re-quantization runs here (idempotent except
+    for block_fp's documented saturation corner)."""
+    pos = pos_ref[pl.program_id(0)]
+    qs = q_ref[0, :, 0, :].astype(jnp.float32)      # (H, d)
+    H, d = qs.shape
+    L = kc_ref.shape[2]
+    kvh = kc_ref.shape[1]
+
+    if scale_query:
+        qs = qs * scaling
+    if q_mb is not None:
+        qs = _quantize_sublane_groups_signed(qs.T, q_mb, group).T
+
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    ok = kv_idx <= pos
+    if window is not None:
+        ok = jnp.logical_and(ok, kv_idx > pos - window)
+
+    def decode_t(c_ref, e_ref, kv):
+        """codes (L, d) + exps (L, d/g) → decoded (d, L): d-groups land on
+        sublanes after the transpose (Mosaic can't reshape lane groups)."""
+        c = c_ref[0, kv].astype(jnp.float32).T       # (d, L)
+        e = e_ref[0, kv].astype(jnp.float32).T       # (d/g, L)
+        scale = jnp.exp2(e - cache_mb)
+        return (c.reshape(d // group, group, L) * scale[:, None, :]
+                ).reshape(d, L)
+
+    outs = []
+    for kv in range(kvh):
+        kt = decode_t(kc_ref, ke_ref, kv)            # (d, L)
+        vt = decode_t(vc_ref, ve_ref, kv)            # (d, L)
+        q_kv = qs[kv * n_rep:(kv + 1) * n_rep]       # (n_rep, d)
+        k = kt.T                                     # (L, d)
+        if k_mb is not None:
+            k = _quantize_sublane_groups_signed(k, k_mb, group)
+        s_t = jax.lax.dot_general(
+            k, q_kv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if not scale_query:
+            s_t = s_t * scaling
+        s_t = jnp.where(ok, s_t, -jnp.inf)
+
+        m = jnp.max(s_t, axis=0, keepdims=True)
+        p = jnp.exp(s_t - m)
+        p = p / jnp.sum(p, axis=0, keepdims=True)
+        if p_mb is not None:
+            p = _quantize_sublane_groups(p, p_mb, group)
+        if v_mb is not None:
+            vt = _quantize_sublane_groups_signed(vt, v_mb, group)
+        o_t = jnp.dot(vt, p, preferred_element_type=jnp.float32)
+        outs.append(o_t.T)
+
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scaling", "scale_query", "window", "group",
+                     "q_width", "k_width", "p_width", "v_width",
+                     "out_dtype", "interpret"),
+)
+def decode_attention_quantized(
+    q: jnp.ndarray,          # (B, H, 1, d) RAW queries (rope applied)
+    k_codes: jnp.ndarray,    # (B, KVH, L, d) int8
+    k_exps: jnp.ndarray,     # (B, KVH, L, d/16) int8
+    v_codes: jnp.ndarray,
+    v_exps: jnp.ndarray,
+    positions: jnp.ndarray,  # (B,) int32
+    *,
+    scaling: float,
+    scale_query: bool = False,
+    window: int | None = None,
+    group: int = 16,
+    q_width: int | None = 8,
+    k_width: int | None = 8,
+    p_width: int | None = 8,
+    v_width: int | None = 8,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused decode attention over the MXINT8-quantized KV cache."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, S, d = q.shape
+    assert S == 1, S
+    KVH, L = k_codes.shape[1], k_codes.shape[2]
+    n_rep = H // KVH
+    cache_group = d // k_exps.shape[3]
+    assert cache_group == group, (cache_group, group)
+    assert L % group == 0 and d % group == 0, (L, d, group)
+
+    kernel = functools.partial(
+        _kernel_quantized, scaling=scaling, scale_query=scale_query,
+        window=window, group=group, n_rep=n_rep, cache_mb=7.0,
+        q_mb=None if q_width is None else q_width - 1,
+        k_mb=None if k_width is None else k_width - 1,
+        p_mb=None if p_width is None else p_width - 1,
+        v_mb=None if v_width is None else v_width - 1,
+    )
+    spec_c = pl.BlockSpec((1, KVH, L, d), lambda b: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_e = pl.BlockSpec((1, KVH, L, d // group), lambda b: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H, 1, d), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_c, spec_e, spec_c, spec_e,
+        ],
+        out_specs=pl.BlockSpec((1, H, 1, d), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * d,
+            bytes_accessed=2 * B * KVH * L * (d + d // group),
+            transcendentals=B * H * L,
+        ),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), q, k_codes, k_exps, v_codes, v_exps)
 
 
 def supports_decode_attention(attn_cfg) -> bool:

@@ -21,10 +21,14 @@ from .sharding import shard_params, sharding_for_param
 
 
 def make_sharded_forward(cfg, layer_qcfgs, mesh: Mesh) -> Callable:
-    """jit-compiled forward with params/tokens sharded over (dp, tp)."""
+    """jit-compiled forward with params/tokens sharded over (dp, tp): tokens
+    are constrained to dp-sharding on this mesh (params carry their own
+    NamedShardings from `shard_params`); XLA inserts the TP collectives."""
+    data_sharding = NamedSharding(mesh, P("dp", None))
 
     @jax.jit
     def fwd(params, input_ids):
+        input_ids = jax.lax.with_sharding_constraint(input_ids, data_sharding)
         return models.forward(params, input_ids, cfg, layer_qcfgs)
 
     return fwd

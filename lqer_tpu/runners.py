@@ -336,14 +336,17 @@ def run_evaluate_harness_downstream(config: dict, project_path: Path) -> dict:
     )
     tokenizer = _get_tokenizer(config)
     # generation tasks decode through the KV-cache engine (one forward per
-    # token) instead of the O(s) full re-forward loop
+    # token) instead of the O(s) full re-forward loop; built lazily so
+    # loglikelihood-only suites never allocate the cache
     from .serving import DecodeEngine
 
-    engine = DecodeEngine(
-        params, cfg, qcfgs, num_slots=1,
-        max_len=eval_hd_config.get("max_length", 2048),
-        cache_dtype=dtype,
-    )
+    def engine():
+        return DecodeEngine(
+            params, cfg, qcfgs, num_slots=1,
+            max_len=eval_hd_config.get("max_length", 2048),
+            cache_dtype=dtype,
+        )
+
     results = evaluate_harness_downstream(
         fwd,
         tokenizer,

@@ -158,20 +158,45 @@ def _use_attn_kernel(backend, s, attn_cfg, max_len, head_dim) -> bool:
 
 
 def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
-                 positions, window, use_kernel, interpret=None):
+                 positions, window, use_kernel, interpret=None,
+                 quant_slices=None):
     """Decode attention: fused Pallas kernel (per-head cache-resident, all
-    operand quantizations in-kernel) when eligible, else the eager path."""
+    operand quantizations in-kernel) when eligible, else the eager path.
+
+    ``quant_slices``: the layer's MXINT8 cache slices
+    ({k,v}_{codes,exps}, post-update) — the kernel then decodes the cache IN
+    VMEM (8.5-bit HBM stream) instead of consuming the pre-decoded ``k_l``/
+    ``v_l``, whose decode XLA dead-code-eliminates."""
     if use_kernel:
         from ..ops.pallas.decode_attention import (
-            decode_attention, decode_attention_widths,
+            decode_attention,
+            decode_attention_quantized,
+            decode_attention_widths,
         )
 
+        widths = decode_attention_widths(attn_cfg)
+        if quant_slices is not None:
+            return decode_attention_quantized(
+                qh, quant_slices["k_codes"], quant_slices["k_exps"],
+                quant_slices["v_codes"], quant_slices["v_exps"],
+                positions, scaling=scaling, scale_query=scale_query,
+                window=window, interpret=interpret, **widths,
+            )
         return decode_attention(
             qh, k_l, v_l, positions, scaling=scaling,
             scale_query=scale_query, window=window, interpret=interpret,
-            **decode_attention_widths(attn_cfg),
+            **widths,
         )
     return _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query)
+
+
+def _quant_slices(cache, layer, use_kernel):
+    """Post-update MXINT8 cache slices for the quantized-cache kernel, or
+    None (fp cache / kernel ineligible)."""
+    if not use_kernel or not is_quantized_cache(cache):
+        return None
+    return {k: cache[k][layer]
+            for k in ("k_codes", "k_exps", "v_codes", "v_exps")}
 
 
 def model_step(
@@ -252,7 +277,8 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
             vh = vh * kv_valid[:, None, :, None]
         cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
         attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
-                            n_rep, False, positions, window, use_ak, interpret)
+                            n_rep, False, positions, window, use_ak, interpret,
+                            quant_slices=_quant_slices(cache, i, use_ak))
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.o_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -319,7 +345,8 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
             vh = vh * kv_valid[:, None, :, None]
         cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
         attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
-                            1, True, positions, None, use_ak, interpret)
+                            1, True, positions, None, use_ak, interpret,
+                            quant_slices=_quant_slices(cache, i, use_ak))
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.out_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -583,9 +610,11 @@ def llama_step_scan(
             new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
                                                   h.dtype)
 
+            qsl = (new_sl if use_ak and "k_codes" in new_sl else None)
             attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg,
                                 cfg.head_dim**-0.5, n_rep, False, positions,
-                                getattr(cfg, "sliding_window", None), use_ak)
+                                getattr(cfg, "sliding_window", None), use_ak,
+                                quant_slices=qsl)
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.o_proj",
                               attn_cfg.o_proj, b_meta, bsl)
             h = residual + attn
@@ -684,9 +713,10 @@ def opt_step_scan(
 
             new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
                                                   h.dtype)
+            qsl = (new_sl if use_ak and "k_codes" in new_sl else None)
             attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg,
                                 cfg.head_dim**-0.5, 1, True, positions, None,
-                                use_ak)
+                                use_ak, quant_slices=qsl)
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.out_proj",
                               attn_cfg.o_proj, b_meta, bsl)
             h = residual + attn

@@ -165,6 +165,28 @@ class TestDecodeAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6, rtol=1e-6)
 
+    def test_quantized_cache_matches_eager_on_decoded(self):
+        """The quantized-cache kernel (in-VMEM MXINT8 decode) must equal the
+        eager path fed the DECODED cache — the exact computation
+        `update_layer_cache_quantized` + `_attend` performs today."""
+        from lqer_tpu.ops.pallas.decode_attention import (
+            decode_attention_quantized, decode_attention_widths,
+        )
+        from lqer_tpu.parallel.collectives import mx8_decode, mx8_encode
+
+        q, k, v, pos = self._mk(seed=7)
+        k_c, k_e = mx8_encode(k, 16)
+        v_c, v_e = mx8_encode(v, 16)
+        k_dec = mx8_decode(k_c, k_e, 16, jnp.float32)
+        v_dec = mx8_decode(v_c, v_e, 16, jnp.float32)
+        ref, qcfg = self._eager(q, k_dec, v_dec, pos)
+        out = decode_attention_quantized(
+            q, k_c, k_e, v_c, v_e, pos, scaling=q.shape[-1]**-0.5,
+            interpret=True, **decode_attention_widths(qcfg),
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
 
 def _mx8():
     return {"name": "block_fp", "width": 8, "exponent_width": 8,

@@ -228,6 +228,41 @@ def test_engine_with_pallas_backend():
 
 
 @pytest.mark.slow
+def test_engine_quantized_cache_attention_kernel():
+    """MXINT8 KV cache + fused decode-attention kernel (in-VMEM cache
+    decode): engine tokens must match the eager quantized-cache engine —
+    round 1 made the quantized cache and the fused kernel mutually
+    exclusive."""
+    import os
+    from unittest import mock
+
+    from lqer_tpu.serving import DecodeEngine, Request
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=256, layers=1, heads=4,
+                           kv_heads=2, inter=256, max_pos=256)
+    params = models.init_params(cfg, jax.random.PRNGKey(13))
+    qcfgs = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
+    backend = prepare_serving_params(params, cfg, qcfgs)
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    def run(env, scan):
+        with mock.patch.dict(os.environ, env):
+            eng = DecodeEngine(params, cfg, qcfgs, num_slots=2, max_len=128,
+                               cache_dtype="mxint8", pallas_backend=backend,
+                               scan_layers=scan)
+            reqs = [Request(prompt_ids=[3, 9, 27], max_new_tokens=4),
+                    Request(prompt_ids=[5, 6], max_new_tokens=3)]
+            eng.run(reqs)
+        return [r.output_ids for r in reqs]
+
+    eager = run({"LQER_DISABLE_ATTN_KERNEL": "1"}, False)
+    kernel = run({}, False)
+    assert kernel == eager, (kernel, eager)
+    kernel_scan = run({}, True)
+    assert kernel_scan == eager, (kernel_scan, eager)
+
+
+@pytest.mark.slow
 def test_engine_decode_attention_kernel_path():
     """max_len >= 128 engages the fused decode-attention kernel inside the
     engine; tokens must match the eager-attention engine exactly."""

@@ -53,18 +53,35 @@ def _kernel(x_ref, p_ref, e_ref, o_ref, acc, *, variant, group, mb):
     high = (p << 24) >> 28
     scale = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)  # (TK/g, TN)
 
-    if variant == "twodot":
-        x = x_ref[:].astype(jnp.float32)
+    if variant in ("twodot", "twodot_bf16", "twodot_bf16mul"):
         tk2, tn = low.shape
         half_g = tk2 // group
 
-        def scaled(codes, s):
-            c = codes.astype(jnp.float32)
-            return (c.reshape(half_g, group, tn) * s[:, None, :]
-                    ).reshape(tk2, tn)
+        if variant == "twodot_bf16mul":
+            # cast codes straight to bf16 and multiply by bf16 scales:
+            # 4-bit codes x power-of-2 scales are exact in bf16
+            x = x_ref[:]
+            sc16 = scale.astype(jnp.bfloat16)
 
-        w_lo = scaled(low, scale[:half_g])
-        w_hi = scaled(high, scale[half_g:])
+            def scaled(codes, s):
+                c = codes.astype(jnp.bfloat16)
+                return (c.reshape(half_g, group, tn) * s[:, None, :]
+                        ).reshape(tk2, tn)
+
+            w_lo = scaled(low, sc16[:half_g])
+            w_hi = scaled(high, sc16[half_g:])
+        else:
+            x = x_ref[:] if variant == "twodot_bf16" else \
+                x_ref[:].astype(jnp.float32)
+
+            def scaled(codes, s):
+                c = codes.astype(jnp.float32)
+                w = (c.reshape(half_g, group, tn) * s[:, None, :]
+                     ).reshape(tk2, tn)
+                return w.astype(jnp.bfloat16) if variant == "twodot_bf16" else w
+
+            w_lo = scaled(low, scale[:half_g])
+            w_hi = scaled(high, scale[half_g:])
         acc[:] += jnp.dot(x[:, :tk2], w_lo, preferred_element_type=jnp.float32)
         acc[:] += jnp.dot(x[:, tk2:], w_hi, preferred_element_type=jnp.float32)
     else:

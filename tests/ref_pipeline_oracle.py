@@ -166,3 +166,61 @@ def load_reference_opt_decoder():
     except Exception as e:  # pragma: no cover
         logging.getLogger(__name__).warning("reference opt_decoder load failed: %s", e)
         return None
+
+
+def _patch_llama_rotary(mod):
+    """Rebind the fork's rotary globals to transformers-4.37-semantics
+    shims: the fork calls ``rotary_emb(v, seq_len=...) -> full (s, d)
+    tables`` and ``apply_rotary_pos_emb(..., position_ids)`` which gathers
+    by position — both signatures changed in 4.38+. These are the standard
+    public RoPE formulas (same ones `lqer_tpu/models/common.py` implements),
+    reconstructed here so the fork's 4.37 call sites run unmodified."""
+    import torch
+
+    class _Rotary437(torch.nn.Module):
+        def __init__(self, dim, max_position_embeddings=2048, base=10000,
+                     device=None, scaling_factor=1.0):
+            super().__init__()
+            inv_freq = 1.0 / (
+                base ** (torch.arange(0, dim, 2, dtype=torch.float32) / dim)
+            )
+            t = torch.arange(max_position_embeddings, dtype=torch.float32)
+            t = t / scaling_factor
+            freqs = torch.outer(t, inv_freq)
+            emb = torch.cat([freqs, freqs], dim=-1)
+            self.register_buffer("cos_cached", emb.cos(), persistent=False)
+            self.register_buffer("sin_cached", emb.sin(), persistent=False)
+
+        def forward(self, x, seq_len=None):
+            return (self.cos_cached[:seq_len].to(x.dtype),
+                    self.sin_cached[:seq_len].to(x.dtype))
+
+    def _rotate_half(x):
+        half = x.shape[-1] // 2
+        return torch.cat([-x[..., half:], x[..., :half]], dim=-1)
+
+    def _apply_rope_437(q, k, cos, sin, position_ids, unsqueeze_dim=1):
+        cos = cos[position_ids].unsqueeze(unsqueeze_dim)
+        sin = sin[position_ids].unsqueeze(unsqueeze_dim)
+        return (q * cos + _rotate_half(q) * sin,
+                k * cos + _rotate_half(k) * sin)
+
+    mod.LlamaRotaryEmbedding = _Rotary437
+    mod.LlamaLinearScalingRotaryEmbedding = _Rotary437
+    mod.LlamaDynamicNTKScalingRotaryEmbedding = _Rotary437
+    mod.apply_rotary_pos_emb = _apply_rope_437
+
+
+def load_reference_llama_decoder():
+    """The forked Llama decoder module with 4.37 rotary compat, or None."""
+    lqer = load_reference_pipeline()
+    if lqer is None:
+        return None
+    try:
+        mod = importlib.import_module("lqer.models.llama_decoder")
+    except Exception as e:  # pragma: no cover
+        logging.getLogger(__name__).warning(
+            "reference llama_decoder load failed: %s", e)
+        return None
+    _patch_llama_rotary(mod)
+    return mod

@@ -28,7 +28,11 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-from ref_pipeline_oracle import load_reference_opt_decoder, load_reference_pipeline
+from ref_pipeline_oracle import (
+    load_reference_llama_decoder,
+    load_reference_opt_decoder,
+    load_reference_pipeline,
+)
 
 REF = load_reference_pipeline()
 
@@ -301,6 +305,144 @@ def test_full_model_logits_parity(tiny_opt, approximations, ref_quantized_model)
     np.testing.assert_allclose(our_logits, ref_logits, rtol=1e-4, atol=5e-4)
     np.testing.assert_array_equal(np.argmax(our_logits, -1),
                                   np.argmax(ref_logits, -1))
+
+
+# ---------------------------------------------------------------------------
+# Llama family (the flagship serving arch): reference fork + host HF model
+# ---------------------------------------------------------------------------
+LLAMA_Q_CONFIG = dict(Q_CONFIG)
+LLAMA_Q_CONFIG["matmul"] = Q_CONFIG["bmm"]
+LLAMA_APPROX = {
+    "name": "lqer-act",
+    "device": "cpu",
+    "approximator": {
+        r"model\.layers\.[0-9]+\.self_attn\.(k|q|v|o)_proj\.weight": "default",
+        r"model\.layers\.[0-9]+\.mlp\.(gate|down|up)_proj\.weight": "default",
+        "default": APPROX_CONFIG["approximator"]["default"],
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def tiny_llama():
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    from lqer_tpu.models import LlamaConfig
+
+    torch.manual_seed(SEED + 7)
+    hf_cfg = HFLlamaConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, intermediate_size=FFN,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=HEADS // 2, max_position_embeddings=MAX_POS,
+        rms_norm_eps=1e-6, attention_bias=False, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    tmodel = LlamaForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig.tiny(vocab_size=VOCAB, hidden=HIDDEN, layers=LAYERS,
+                           heads=HEADS, kv_heads=HEADS // 2, inter=FFN,
+                           max_pos=MAX_POS)
+    params = {
+        k: jnp.asarray(v.detach().float().numpy())
+        for k, v in tmodel.state_dict().items()
+    }
+    return tmodel, cfg, params
+
+
+class _LlamaLayerAdapter(torch.nn.Module):
+    """transformers-4.57 Llama decoder loop → reference 4.37 fork layer."""
+
+    def __init__(self, layer):
+        super().__init__()
+        self.layer = layer
+
+    def forward(self, hidden_states, attention_mask=None, position_ids=None,
+                past_key_values=None, output_attentions=False,
+                use_cache=False, cache_position=None,
+                position_embeddings=None, **kwargs):
+        if position_ids is None:
+            b, s = hidden_states.shape[:2]
+            position_ids = torch.arange(s).unsqueeze(0).expand(b, s)
+        out = self.layer(
+            hidden_states, attention_mask=attention_mask,
+            position_ids=position_ids, past_key_value=None,
+            output_attentions=False, use_cache=False,
+        )
+        # 4.57's decoder loop consumes the tensor directly (4.37 returned
+        # a tuple)
+        return out[0]
+
+
+def test_llama_full_pipeline_parity(tiny_llama):
+    """Llama: reference scale hooks → ModelApproximatorLqerAct →
+    quantize_llama_model (GQA, quantized matmul_0/1, rotary) vs our pipeline
+    on the identical weights/tokens — logits with shared A/B + own-pipeline
+    perplexity."""
+    import copy
+
+    od = load_reference_llama_decoder()
+    if od is None:
+        pytest.skip("reference llama_decoder not loadable")
+    tmodel, cfg, params = tiny_llama
+
+    # --- reference pipeline ---
+    ref_scales = _ref_scale_dict(copy.deepcopy(tmodel))
+    ApproxCls = REF.approximate.get_model_approximator_cls("lqer-act")
+    state_dict = {k: v.detach().float().clone()
+                  for k, v in tmodel.state_dict().items()}
+    ref_approx = ApproxCls(state_dict, copy.deepcopy(LLAMA_APPROX))
+    ref_approx.load_scale_dict(
+        {k: torch.from_numpy(v) for k, v in ref_scales.items()})
+    ref_out = ref_approx.compute(delete_after_compute=True)
+    assert len(ref_out["low_rank_dict"]) == 2 * 7 * LAYERS
+
+    qmodel = od.quantize_llama_model(copy.deepcopy(tmodel),
+                                     q_config=copy.deepcopy(LLAMA_Q_CONFIG),
+                                     l_config=copy.deepcopy(L_CONFIG))
+    missing, unexpected = qmodel.load_state_dict(
+        {k: v.detach().clone() for k, v in ref_out["low_rank_dict"].items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    for i, layer in enumerate(qmodel.model.layers):
+        qmodel.model.layers[i] = _LlamaLayerAdapter(layer)
+    qmodel = qmodel.eval()
+
+    # --- ours: same weights, reference's A/B -> logit parity ---
+    qcfgs = models.quantize_model(cfg, LLAMA_Q_CONFIG, L_CONFIG)
+    our_params = models.load_low_rank_dict(
+        dict(params),
+        {k: v.detach().numpy() for k, v in ref_out["low_rank_dict"].items()},
+    )
+    our_params = models.prepare_ptq(our_params, cfg, qcfgs)
+
+    ids = _eval_batches(n_batches=1)[0]
+    with torch.no_grad():
+        ref_logits = qmodel(input_ids=torch.from_numpy(ids)).logits.numpy()
+    our_logits = np.asarray(
+        models.forward(our_params, jnp.asarray(ids), cfg, qcfgs))
+    np.testing.assert_allclose(our_logits, ref_logits, rtol=2e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.argmax(our_logits, -1),
+                                  np.argmax(ref_logits, -1))
+
+    # --- own-pipeline perplexity parity ---
+    from torch.utils.data import DataLoader
+
+    rows = np.concatenate(_eval_batches())
+    data = [{"input_ids": torch.from_numpy(r), "labels": torch.from_numpy(r)}
+            for r in rows]
+    ref_ppl = REF.evaluate.evaluate_perplexity(
+        qmodel, DataLoader(data, batch_size=2, shuffle=False))["perplexity"]
+
+    our_scales = _our_scale_dict(cfg, params)
+    ours = ModelApproximator(params, copy.deepcopy(LLAMA_APPROX))
+    ours.load_scale_dict(our_scales)
+    our_lr = ours.compute(keep_error_T=False)["low_rank_dict"]
+    p2 = models.prepare_ptq(models.load_low_rank_dict(dict(params), our_lr),
+                            cfg, qcfgs)
+    fwd = jax.jit(lambda t: models.forward(p2, t, cfg, qcfgs))
+    our_ppl = evaluate_perplexity(fwd, rows, batch_size=2)["perplexity"]
+    assert abs(our_ppl - ref_ppl) / ref_ppl < 1e-3, (our_ppl, ref_ppl)
 
 
 def test_full_pipeline_perplexity_parity(tiny_opt, scale_dicts, approximations,

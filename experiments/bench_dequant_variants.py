@@ -48,9 +48,16 @@ def _kernel(x_ref, p_ref, e_ref, o_ref, acc, *, variant, group, mb):
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    p = p_ref[:].astype(jnp.int32)
-    low = (p << 28) >> 28
-    high = (p << 24) >> 28
+    if variant == "i8shift":
+        # nibble shifts on int8 vectors (4 codes/lane) instead of int32
+        p8 = p_ref[:]
+        low = (p8 << 4) >> 4
+        high = p8 >> 4
+        variant = "twodot_bf16"
+    else:
+        p = p_ref[:].astype(jnp.int32)
+        low = (p << 28) >> 28
+        high = (p << 24) >> 28
     scale = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)  # (TK/g, TN)
 
     if variant in ("twodot", "twodot_bf16", "twodot_bf16mul"):

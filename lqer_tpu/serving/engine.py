@@ -164,38 +164,40 @@ class DecodeEngine:
         self._decode_step = lambda p, c, t, pos, key, temps: decode_step(
             feed, feed_b, c, t, pos, key, temps)
 
-        @functools.partial(jax.jit, static_argnames=("pad_len",),
+        @functools.partial(jax.jit, static_argnames=("pad_len", "nb"),
                            donate_argnums=(2,))
-        def _prefill_impl(params, backend_arrays, cache, ids, slot, length,
-                          pad_len):
-            # ids: (1, pad_len) right-padded prompt for one slot
-            del pad_len
-            positions = jnp.zeros((1,), jnp.int32)
-            # fresh zeroed 1-slot cache: stale K/V from a previous occupant
+        def _prefill_impl(params, backend_arrays, cache, ids, slots, lengths,
+                          pad_len, nb):
+            # ids: (nb, pad_len) right-padded prompts; slots/lengths: (nb,).
+            # Admission is BATCHED: all waiting prompts of one length bucket
+            # prefill in a single forward (one compile per (nb, pad_len)
+            # bucket), and the cache write is a per-slot scatter on the
+            # donated buffer rather than a whole-cache copy.
+            del pad_len, nb
+            positions = jnp.zeros((ids.shape[0],), jnp.int32)
+            # fresh zeroed nb-slot cache: stale K/V from previous occupants
             # must not leak into shared-exponent groups (see model_step's
             # valid_lengths note). Key-generic so both the fp and the
             # MXINT8-quantized cache layouts work.
-            one_cache = {
-                k: jnp.zeros_like(
-                    jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=1)
-                )
+            batch_cache = {
+                k: jnp.zeros_like(jnp.take(v, slots, axis=1))
                 for k, v in cache.items()
             }
-            logits, one_cache = _step_math(
-                params, backend_arrays, one_cache, ids, positions,
-                valid_lengths=jnp.reshape(length, (1,)).astype(jnp.int32),
+            logits, batch_cache = _step_math(
+                params, backend_arrays, batch_cache, ids, positions,
+                valid_lengths=lengths.astype(jnp.int32),
             )
             cache = {
-                k: jax.lax.dynamic_update_slice_in_dim(
-                    cache[k], one_cache[k], slot, axis=1
-                )
+                k: cache[k].at[:, slots].set(batch_cache[k])
                 for k in cache
             }
-            last = logits[0, length - 1, :]
+            last = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
+            )[:, 0, :]  # (nb, vocab)
             return last, cache
 
-        self._prefill = lambda p, c, ids, slot, ln, pad_len: _prefill_impl(
-            feed, feed_b, c, ids, slot, ln, pad_len)
+        self._prefill = lambda p, c, ids, slots, lns, pad_len: _prefill_impl(
+            feed, feed_b, c, ids, slots, lns, pad_len, ids.shape[0])
 
     # ------------------------------------------------------------------
     def _sample(self, logits: jnp.ndarray, temperature: float) -> int:
@@ -204,20 +206,36 @@ class DecodeEngine:
         self.key, sub = jax.random.split(self.key)
         return int(jax.random.categorical(sub, logits / temperature))
 
-    def _admit(self, req: Request, slot: int) -> int:
-        ids = req.prompt_ids
-        if len(ids) >= self.max_len:
-            ids = ids[-(self.max_len - req.max_new_tokens - 1):]
-        pad_len = min(_bucket(len(ids)), self.max_len)
-        padded = np.zeros((1, pad_len), dtype=np.int32)
-        padded[0, : len(ids)] = ids
+    def _admit_batch(self, pairs: list[tuple[Request, int]]) -> list[int]:
+        """Prefill every (request, slot) pair in ONE padded batch (one
+        compile per (batch, pad_len) bucket; bounded by num_slots × length
+        buckets) and return the first sampled token per request."""
+        prepped = []
+        for req, slot in pairs:
+            ids = req.prompt_ids
+            if len(ids) >= self.max_len:
+                ids = ids[-(self.max_len - req.max_new_tokens - 1):]
+            prepped.append((req, slot, ids))
+        pad_len = min(_bucket(max(len(ids) for _, _, ids in prepped)),
+                      self.max_len)
+        nb = len(prepped)
+        padded = np.zeros((nb, pad_len), dtype=np.int32)
+        slots = np.zeros(nb, dtype=np.int32)
+        lengths = np.zeros(nb, dtype=np.int32)
+        for r, (req, slot, ids) in enumerate(prepped):
+            padded[r, : len(ids)] = ids
+            slots[r] = slot
+            lengths[r] = len(ids)
         last_logits, self.cache = self._prefill(
-            self.params, self.cache, jnp.asarray(padded),
-            jnp.int32(slot), jnp.int32(len(ids)), pad_len,
+            self.params, self.cache, jnp.asarray(padded), jnp.asarray(slots),
+            jnp.asarray(lengths), pad_len,
         )
-        self.lengths[slot] = len(ids)
-        self.slot_req[slot] = req
-        return self._sample(last_logits, req.temperature)
+        toks = []
+        for r, (req, slot, ids) in enumerate(prepped):
+            self.lengths[slot] = len(ids)
+            self.slot_req[slot] = req
+            toks.append(self._sample(last_logits[r], req.temperature))
+        return toks
 
     def run(self, requests: list[Request]) -> list[Request]:
         """Process all requests to completion; returns them with
@@ -227,17 +245,21 @@ class DecodeEngine:
         active = np.zeros(self.num_slots, dtype=bool)
 
         def try_admit():
+            pairs = []
             for s in range(self.num_slots):
                 if not active[s] and queue:
-                    req = queue.pop(0)
-                    tok = self._admit(req, s)
-                    req.output_ids.append(tok)
-                    if req.eos_token_id is not None and tok == req.eos_token_id:
-                        req.done = True
-                        self.slot_req[s] = None
-                        continue
-                    pending_token[s] = tok
-                    active[s] = True
+                    pairs.append((queue.pop(0), s))
+            if not pairs:
+                return
+            toks = self._admit_batch(pairs)
+            for (req, s), tok in zip(pairs, toks):
+                req.output_ids.append(tok)
+                if req.eos_token_id is not None and tok == req.eos_token_id:
+                    req.done = True
+                    self.slot_req[s] = None
+                    continue
+                pending_token[s] = tok
+                active[s] = True
 
         try_admit()
         while active.any() or queue:

@@ -208,6 +208,7 @@ def _patch_llama_rotary(mod):
     mod.LlamaRotaryEmbedding = _Rotary437
     mod.LlamaLinearScalingRotaryEmbedding = _Rotary437
     mod.LlamaDynamicNTKScalingRotaryEmbedding = _Rotary437
+    mod.MistralRotaryEmbedding = _Rotary437
     mod.apply_rotary_pos_emb = _apply_rope_437
 
 
@@ -223,4 +224,21 @@ def load_reference_llama_decoder():
             "reference llama_decoder load failed: %s", e)
         return None
     _patch_llama_rotary(mod)
+    return mod
+
+
+def load_reference_mistral_decoder():
+    """The forked Mistral decoder module with 4.37 rotary compat, or None.
+    (The fork's flash path is dead by its own `is_flash_attn_available`
+    override; only the eager attention runs.)"""
+    lqer = load_reference_pipeline()
+    if lqer is None:
+        return None
+    try:
+        mod = importlib.import_module("lqer.models.mistral_decoder")
+    except Exception as e:  # pragma: no cover
+        logging.getLogger(__name__).warning(
+            "reference mistral_decoder load failed: %s", e)
+        return None
+    _patch_llama_rotary(mod)  # same 4.37 rotary/apply_rope signatures
     return mod

@@ -30,6 +30,7 @@ torch = pytest.importorskip("torch")
 
 from ref_pipeline_oracle import (
     load_reference_llama_decoder,
+    load_reference_mistral_decoder,
     load_reference_opt_decoder,
     load_reference_pipeline,
 )
@@ -443,6 +444,76 @@ def test_llama_full_pipeline_parity(tiny_llama):
     fwd = jax.jit(lambda t: models.forward(p2, t, cfg, qcfgs))
     our_ppl = evaluate_perplexity(fwd, rows, batch_size=2)["perplexity"]
     assert abs(our_ppl - ref_ppl) / ref_ppl < 1e-3, (our_ppl, ref_ppl)
+
+
+def test_mistral_quantized_model_logits_parity():
+    """Mistral: the reference fork's quantized model (GQA + its own
+    matmul_0/1 quantized attention) vs our mistral-arch forward on identical
+    weights and reference-computed A/B. Sliding window inactive at this
+    sequence length (matching the reference's 2048 < 4096 regime)."""
+    import copy
+
+    od = load_reference_mistral_decoder()
+    if od is None:
+        pytest.skip("reference mistral_decoder not loadable")
+    from transformers import MistralConfig as HFMistralConfig
+    from transformers import MistralForCausalLM
+
+    from lqer_tpu.models import LlamaConfig
+
+    torch.manual_seed(SEED + 11)
+    hf_cfg = HFMistralConfig(
+        vocab_size=VOCAB, hidden_size=HIDDEN, intermediate_size=FFN,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=HEADS // 2, max_position_embeddings=MAX_POS,
+        rms_norm_eps=1e-6, sliding_window=4096, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    tmodel = MistralForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig.tiny(vocab_size=VOCAB, hidden=HIDDEN, layers=LAYERS,
+                           heads=HEADS, kv_heads=HEADS // 2, inter=FFN,
+                           max_pos=MAX_POS, arch="mistral",
+                           sliding_window=4096)
+    params = {k: jnp.asarray(v.detach().float().numpy())
+              for k, v in tmodel.state_dict().items()}
+
+    ref_scales = _ref_scale_dict(copy.deepcopy(tmodel))
+    ApproxCls = REF.approximate.get_model_approximator_cls("lqer-act")
+    ref_approx = ApproxCls(
+        {k: v.detach().float().clone() for k, v in tmodel.state_dict().items()},
+        copy.deepcopy(LLAMA_APPROX),  # same weight-name regexes
+    )
+    ref_approx.load_scale_dict(
+        {k: torch.from_numpy(v) for k, v in ref_scales.items()})
+    ref_out = ref_approx.compute(delete_after_compute=True)
+
+    qmodel = od.quantize_mistral_model(copy.deepcopy(tmodel),
+                                       q_config=copy.deepcopy(LLAMA_Q_CONFIG),
+                                       l_config=copy.deepcopy(L_CONFIG))
+    missing, unexpected = qmodel.load_state_dict(
+        {k: v.detach().clone() for k, v in ref_out["low_rank_dict"].items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    for i, layer in enumerate(qmodel.model.layers):
+        qmodel.model.layers[i] = _LlamaLayerAdapter(layer)
+    qmodel = qmodel.eval()
+
+    qcfgs = models.quantize_model(cfg, LLAMA_Q_CONFIG, L_CONFIG)
+    our_params = models.load_low_rank_dict(
+        dict(params),
+        {k: v.detach().numpy() for k, v in ref_out["low_rank_dict"].items()},
+    )
+    our_params = models.prepare_ptq(our_params, cfg, qcfgs)
+
+    ids = _eval_batches(n_batches=1)[0]
+    with torch.no_grad():
+        ref_logits = qmodel(input_ids=torch.from_numpy(ids)).logits.numpy()
+    our_logits = np.asarray(
+        models.forward(our_params, jnp.asarray(ids), cfg, qcfgs))
+    np.testing.assert_allclose(our_logits, ref_logits, rtol=2e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.argmax(our_logits, -1),
+                                  np.argmax(ref_logits, -1))
 
 
 def test_full_pipeline_perplexity_parity(tiny_opt, scale_dicts, approximations,

@@ -157,6 +157,9 @@ def main():
     ap.add_argument("--eval-chunk", type=int, default=0,
                     help="also time a full-sequence eval chunk (GPTQ-style "
                     "perplexity forward) of this length through the kernels")
+    ap.add_argument("--cache", default="bf16", choices=["bf16", "mxint8"],
+                    help="KV-cache layout; mxint8 engages the quantized-"
+                    "cache decode-attention kernel (in-VMEM decode)")
     args = ap.parse_args()
 
     cfg = LlamaConfig.llama_7b()
@@ -173,20 +176,24 @@ def main():
 
     results = []
     for max_len in args.max_len:
+        cache_dtype = "mxint8" if args.cache == "mxint8" else jnp.bfloat16
         engine = DecodeEngine(
             params, cfg, qcfgs, num_slots=args.slots, max_len=max_len,
-            cache_dtype=jnp.bfloat16, pallas_backend=backend,
+            cache_dtype=cache_dtype, pallas_backend=backend,
             scan_layers=not args.no_scan,
         )
 
-        # fill every slot, then time decode steps via the engine internals
+        # fill every slot (ONE batched prefill), then time decode steps via
+        # the engine internals
         prompts = [[(7 * i + 3) % 1000 + 2 for _ in range(16)]
                    for i in range(args.slots)]
         logger.info("L=%d: prefilling %d slots (first compile is slow)...",
                     max_len, args.slots)
         t0 = time.perf_counter()
-        for s, ids in enumerate(prompts):
-            engine._admit(Request(prompt_ids=ids, max_new_tokens=10**9), s)
+        engine._admit_batch([
+            (Request(prompt_ids=ids, max_new_tokens=10**9), s)
+            for s, ids in enumerate(prompts)
+        ])
         logger.info("prefill done in %.1fs", time.perf_counter() - t0)
 
         tokens = jnp.asarray(np.full(args.slots, 5, np.int32))
@@ -213,7 +220,7 @@ def main():
         med = float(np.median(lat_ms))
         results.append((max_len, best, med))
         print(f"[e2e-7b] layers={cfg.num_hidden_layers} slots={args.slots} "
-              f"rank={rank} L={max_len} decode: best={best:.1f}ms "
+              f"rank={rank} cache={args.cache} L={max_len} decode: best={best:.1f}ms "
               f"median={med:.1f}ms "
               f"-> {args.slots / (best / 1e3):.1f} tok/s (best), "
               f"{args.slots / (med / 1e3):.1f} tok/s (median)")

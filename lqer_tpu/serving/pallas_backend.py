@@ -126,7 +126,14 @@ def _partial_quant_width(cfg: dict | None, last_dim: int):
 def _bf16_exact_values(arr) -> bool:
     """Concrete check that an A/B factor's values survive the kernel's bf16
     operand cast losslessly (the approximator quantizes them, but the
-    configured A/B format may be wider than 9 bits)."""
+    configured A/B format may be wider than 9 bits). Under tracing (packing
+    inside jit, e.g. layer-streamed generation in the 7B bench) the values
+    are unavailable — the check is skipped and the caller is responsible for
+    supplying bf16-exact factors."""
+    import jax as _jax
+
+    if isinstance(arr, _jax.core.Tracer):
+        return True
     a32 = jnp.asarray(arr, jnp.float32)
     return bool(jnp.all(a32.astype(jnp.bfloat16).astype(jnp.float32) == a32))
 

@@ -180,7 +180,9 @@ def main():
             o = qlinear_w4_fused(x1, po, tile_m=8, tile_n=TILE_N,
                                  out_dtype=jnp.bfloat16)
             x2 = x + o * EPS
-            mlp = mlp_w4_fused(x2, pm, tile_m=8, tile_i=TILE_N,
+            # wider gate/up N tiles (I=11264 % 2816 == 0): fewer grid steps,
+        # ~10% on the tile sweep (experiments/bench_dequant_variants.py)
+        mlp = mlp_w4_fused(x2, pm, tile_m=8, tile_i=2816,
                                tile_n=TILE_N, out_dtype=jnp.bfloat16)
             return x + mlp * EPS, None
 

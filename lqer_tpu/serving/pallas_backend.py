@@ -22,7 +22,7 @@ from ..utils.logging import get_logger
 
 logger = get_logger("serving.pallas")
 
-TILE_K = 256
+TILE_K = 1024  # cap; per-module tiles via _pick_tile_k
 
 # Projections sharing one input activation, fusable into a single kernel
 # launch by concatenating their (packed) weights along the output axis —
@@ -146,8 +146,8 @@ def _eligibility(qc, w, a, b, tile_k: int):
         return False, f"w_quantizer {qc.w_cfg} is not canonical MXINT4", None, None
     if not _bf16_exact(qc.x_cfg):
         return False, f"x_quantizer {qc.x_cfg} not exact in bf16", None, None
-    if k_in % tile_k != 0:
-        return False, f"in_features {k_in} % tile_k {tile_k} != 0", None, None
+    if _pick_tile_k(k_in, tile_k) == 0:
+        return False, f"in_features {k_in} not tileable (cap {tile_k})", None, None
     if n_out % 128 != 0:
         return False, f"out_features {n_out} % 128 != 0", None, None
     xa_width = out_width = None
@@ -199,7 +199,7 @@ def _mlp_fusable(layer_prefix, cfg, params, layer_qcfg, tile_k):
         return None
     # down's contraction dim (=I) must tile, and so must its rank
     w_down = params[f"{layer_prefix}.{down_rel}.weight"]
-    if w_down.shape[1] % tile_k != 0 or w_down.shape[0] % 128 != 0:
+    if _pick_tile_k(w_down.shape[1], tile_k) == 0 or w_down.shape[0] % 128 != 0:
         return None
     w_gate = params[f"{layer_prefix}.{gate_rel}.weight"]
     if w_gate.shape[0] % 128 != 0:
@@ -208,10 +208,21 @@ def _mlp_fusable(layer_prefix, cfg, params, layer_qcfg, tile_k):
 
 
 def _pick_tile_n(n: int) -> int:
-    for tn in (512, 256, 128):
+    # larger N tiles = fewer grid steps; measured ~10% on the 7B decode
+    # shapes (experiments/bench_dequant_variants.py tile sweep)
+    for tn in (1024, 512, 256, 128):
         if n % tn == 0:
             return tn
     raise ValueError(f"out_features {n} not divisible by a supported tile")
+
+
+def _pick_tile_k(k_in: int, cap: int) -> int:
+    """Largest K tile (fewest grid steps) dividing in_features: e.g. 7B's
+    q/k/v/o/gate/up (K=4096) tile at 1024 while down (K=11008) tiles at 256."""
+    for tk in (1024, 512, 256, 128):
+        if tk <= cap and k_in % tk == 0:
+            return tk
+    return 0  # ineligible (caller falls back to emulation)
 
 
 def _fusable(layer_prefix: str, members, params, layer_qcfg) -> bool:
@@ -305,13 +316,14 @@ def prepare_serving_params(
     skipped: list[str] = []
 
     def pack_one(key, w, a, b, bias, xa_width, out_width, splits=None):
+        tk = _pick_tile_k(w.shape[1], tile_k)
         prep = prepare_w4_weights(w, a=a, b=b, bias=bias, fmt=MXINT4,
-                                  tile_k=tile_k)
+                                  tile_k=tk)
         # split traced arrays from static metadata so the whole backend
         # can be passed as a jit argument (tile sizes must stay static)
         arrays[key] = {k: prep[k] for k in ("packed", "exps", "a", "b", "bias")}
         meta[key] = {
-            "tile_k": tile_k,
+            "tile_k": tk,
             "tile_n": _pick_tile_n(w.shape[0]),
             "fmt": MXINT4,
             "xa_width": xa_width,
@@ -398,6 +410,8 @@ def _pack_mlp(lp, cfg, params, layer_qcfg, tile_k, arrays, meta,
 
     qc_up = (models._proj_qcfg(layer_qcfg, up_rel.rsplit(".", 1)[-1])
              if up_rel else None)
+    tk = _pick_tile_k(params[f"{lp}.{gate_rel}.weight"].shape[1], tile_k)
+    tk2 = _pick_tile_k(params[f"{lp}.{down_rel}.weight"].shape[1], tile_k)
     prep = prepare_mlp_weights(
         gp(gate_rel, "weight"),
         gp(up_rel, "weight") if up_rel else None,
@@ -409,7 +423,7 @@ def _pack_mlp(lp, cfg, params, layer_qcfg, tile_k, arrays, meta,
         bias_gate=qbias(gate_rel, qc_gate),
         bias_up=qbias(up_rel, qc_up) if up_rel else None,
         bias_down=qbias(down_rel, qc_down),
-        fmt=MXINT4, tile_k=tile_k, tile_k2=tile_k,
+        fmt=MXINT4, tile_k=tk, tile_k2=tk2,
     )
     key = f"{lp}.mlp_fused"
     static = {"gated", "fmt", "tile_k", "tile_k2"}

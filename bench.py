@@ -76,21 +76,24 @@ def _chain(fn, x0, iters):
     return time.perf_counter() - t0
 
 
-def _bench(fn, x0, lo=8, hi=40, warmup=4):
-    """Marginal chained timing: ``fn(x) -> x_next`` so every iteration
-    depends on the previous (forces real serial execution — independent
-    dispatch loops have been measured above HBM speed-of-light through this
-    environment's remote relay). The relay also adds a large fixed
-    latency to each chained sequence, so the per-iteration time is taken as
-    the MARGINAL cost between a short and a long chain, cancelling the
-    fixed term."""
+def _bench(fn, x0, iters=128, warmup=4):
+    """Chained timing: ``fn(x) -> x_next`` so every iteration depends on the
+    previous (forces real serial execution — independent dispatch loops have
+    been measured above HBM speed-of-light through this environment's remote
+    relay, i.e. elided/overlapped). Returns the long chain's AVERAGE
+    per-iteration time: a conservative upper bound on the true step —
+    chip contention and the relay's fixed chain latency (~40 ms, amortized
+    to <0.5 ms/iter at this length) can only inflate it, never deflate it.
+    The caller takes the MIN over repeats: with a bias-free-upward
+    estimator, the minimum is the least-contended sample. (A short-vs-long
+    marginal estimator was tried first and rejected: a contention burst
+    during the short chain biases the difference LOW, and min-picking then
+    selects exactly those corrupted samples.)"""
     x = x0
     for _ in range(warmup):
         x = fn(x)
     jax.block_until_ready(x)
-    t_lo = _chain(fn, x0, lo)
-    t_hi = _chain(fn, x0, hi)
-    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+    return _chain(fn, x0, iters) / iters
 
 
 def main():
@@ -180,9 +183,10 @@ def main():
             o = qlinear_w4_fused(x1, po, tile_m=8, tile_n=TILE_N,
                                  out_dtype=jnp.bfloat16)
             x2 = x + o * EPS
-            # wider gate/up N tiles (I=11264 % 2816 == 0): fewer grid steps,
-        # ~10% on the tile sweep (experiments/bench_dequant_variants.py)
-        mlp = mlp_w4_fused(x2, pm, tile_m=8, tile_i=2816,
+            # tile_i stays 1024: 2816-wide gate/up tiles (the standalone
+            # kernel's sweet spot) blow the 16MB scoped-VMEM stack in the
+            # megakernel (measured: 21.05M requested)
+            mlp = mlp_w4_fused(x2, pm, tile_m=8, tile_i=TILE_N,
                                tile_n=TILE_N, out_dtype=jnp.bfloat16)
             return x + mlp * EPS, None
 
@@ -225,21 +229,20 @@ def main():
         return step_dense(x, dense_ws)
 
     scale = LAYERS // LAYERS_STACK
-    lo, hi = (8, 40) if on_tpu else (1, 3)
+    iters = 128 if on_tpu else 2
     repeats = REPEATS if on_tpu else 1
     trace_dir = os.environ.get("BENCH_TRACE")  # profiler capture (xprof)
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
     t_fused_runs, t_dense_runs = [], []
     for _ in range(repeats):
-        t_fused_runs.append(_bench(step_fused_fn, x_hid, lo, hi) * scale)
-        t_dense_runs.append(_bench(step_dense_fn, x_hid, lo, hi) * scale)
+        t_fused_runs.append(_bench(step_fused_fn, x_hid, iters) * scale)
+        t_dense_runs.append(_bench(step_dense_fn, x_hid, iters) * scale)
     if trace_dir:
         jax.profiler.stop_trace()
         print(f"[bench] profiler trace written to {trace_dir}", file=sys.stderr)
-    # best-of-N: the shared chip sees sustained contention windows (observed
-    # spreads of 7x within a minute); the minimum is the least-contended
-    # sample and the only stable estimator of the kernel's own speed.
+    # min-of-N of a bias-free-upward estimator (see _bench): the minimum is
+    # the least-contended sample on the shared chip.
     t_fused = min(t_fused_runs)
     t_dense = min(t_dense_runs)
     ratio = t_dense / t_fused
@@ -250,7 +253,7 @@ def main():
     print(
         f"[bench] backend={jax.default_backend()} "
         f"fused_step={t_fused*1e3:.2f}ms dense_step={t_dense*1e3:.2f}ms "
-        f"(best of {repeats}; fused spread "
+        f"(min of {repeats}; fused spread "
         f"{min(t_fused_runs)*1e3:.2f}-{max(t_fused_runs)*1e3:.2f}ms) "
         f"w4_stream={w4_bytes/1e6:.0f}MB/step "
         f"achieved_bw={w4_bytes/t_fused/1e9:.0f}GB/s",

@@ -48,6 +48,20 @@ def _kernel(x_ref, p_ref, e_ref, o_ref, acc, *, variant, group, mb):
     def _():
         acc[:] = jnp.zeros_like(acc)
 
+    if variant == "stream":
+        # pure HBM streaming probe: the BlockSpecs still fetch every packed
+        # tile into VMEM; compute is negligible. Measures the Pallas grid
+        # pipeline's achievable read bandwidth, isolating it from dequant
+        # VPU work and the MXU dot.
+        m_rows = acc.shape[0]
+        acc[:] += (p_ref[:m_rows, :acc.shape[1]].astype(jnp.float32)
+                   + e_ref[:1, :acc.shape[1]].astype(jnp.float32))
+
+        @pl.when(k == nk - 1)
+        def _():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+        return
     if variant == "i8shift":
         # nibble shifts on int8 vectors (4 codes/lane) instead of int32
         p8 = p_ref[:]
@@ -147,6 +161,248 @@ def make_pallas_step(variant, L, M, N, K, tile_n, tile_k, group=16, mb=3):
     return step
 
 
+def _wide_kernel(x_ref, p_ref, e_ref, o_ref, acc, *, group, mb, n_chunk):
+    """Full-width fetch: the packed block spans ALL of N, so every HBM read
+    is one contiguous slab (the (tk/2, 1024) tiles of the standard layout
+    read 1 KB bursts with an 11 KB stride — measured ~285 GB/s pure-stream
+    vs ~536 GB/s for XLA's dense dot in the same window). Dequant+dot then
+    walk N in chunks to keep the f32 intermediate small."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = x_ref[:]
+    tk2, n_total = p_ref.shape
+    hg = tk2 // group
+    for c in range(n_total // n_chunk):
+        sl = pl.ds(c * n_chunk, n_chunk)
+        p = p_ref[:, sl].astype(jnp.int32)
+        low = (p << 28) >> 28
+        high = (p << 24) >> 28
+        scale = jnp.exp2(e_ref[:, sl].astype(jnp.float32) - mb)
+
+        def scaled(codes, s):
+            cc = codes.astype(jnp.float32)
+            return (cc.reshape(hg, group, n_chunk) * s[:, None, :]
+                    ).reshape(tk2, n_chunk).astype(jnp.bfloat16)
+
+        acc[:, sl] += jnp.dot(x[:, :tk2], scaled(low, scale[:hg]),
+                              preferred_element_type=jnp.float32)
+        acc[:, sl] += jnp.dot(x[:, tk2:], scaled(high, scale[hg:]),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def make_wide_step(L, M, N, K, tile_k, group=16, mb=3, n_chunk=1024):
+    kern = functools.partial(_wide_kernel, group=group, mb=mb, n_chunk=n_chunk)
+    grid = (1, K // tile_k)
+
+    def one(x, packed, exps):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((max(M, 8), tile_k), lambda m, k: (m, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_k // 2, N), lambda m, k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_k // group, N), lambda m, k: (k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((max(M, 8), N), lambda m, k: (m, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((max(M, 8), N), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((max(M, 8), N), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(x, packed, exps)
+
+    EPS = jnp.bfloat16(1e-4)
+
+    @jax.jit
+    def step(x, packed_l, exps_l):
+        def body(x, sl):
+            y = one(x, sl[0], sl[1])
+            return x + y[:, :K] * EPS, None
+
+        x, _ = jax.lax.scan(body, x, (packed_l, exps_l))
+        return x
+
+    return step
+
+
+def pack_int4_k8(codes, tile_k):
+    """(K, N) int4 codes → (K/8, N) int32: within each K-tile, word row j
+    packs codes {j + s·tile_k/8, s=0..7}, nibble s. Unpack = 8 sign-extend
+    shifts per word; the 8 K-slices dot separately (no concat, no int8
+    VMEM). STATUS: the pack32 kernel currently fails Mosaic lowering
+    ("Shape mismatch in input, indices and output" from a gather rule) —
+    kept as a documented experiment; the production layout remains
+    pack_int4_ksplit."""
+    import numpy as np_
+
+    K, N = codes.shape
+    c = np_.asarray(codes, np_.int64) & 0xF
+    t = c.reshape(K // tile_k, 8, tile_k // 8, N)
+    word = np_.zeros((K // tile_k, tile_k // 8, N), np_.uint32)
+    for s in range(8):
+        word |= (t[:, s].astype(np_.uint32) << np_.uint32(4 * s))
+    return jnp.asarray(word.reshape(K // 8, N).view(np_.int32))
+
+
+def _pack32_kernel(x_ref, p_ref, e_ref, o_ref, acc, *, group, mb):
+    """int32-word packed dequant: 8 K-slices, each extracted with two shifts
+    from the SAME resident int32 block (no int8-typed VMEM, no concat)."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = x_ref[:]
+    p = p_ref[:]                                    # (TK/8, TN) int32
+    tk8, tn = p.shape
+    sg = tk8 // group                               # groups per slice
+    scale = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)  # (TK/g, TN)
+    for s in range(8):
+        c = (p << (28 - 4 * s)) >> 28               # codes of slice s
+        w = (c.astype(jnp.float32).reshape(sg, group, tn)
+             * scale[s * sg:(s + 1) * sg, None, :]
+             ).reshape(tk8, tn).astype(jnp.bfloat16)
+        acc[:] += jnp.dot(x[:, s * tk8:(s + 1) * tk8], w,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def make_pack32_step(L, M, N, K, tile_n, tile_k, group=16, mb=3):
+    kern = functools.partial(_pack32_kernel, group=group, mb=mb)
+    grid = (1, N // tile_n, K // tile_k)
+
+    def one(x, packed, exps):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((max(M, 8), tile_k), lambda m, n, k: (m, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_k // 8, tile_n), lambda m, n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_k // group, tile_n), lambda m, n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((max(M, 8), tile_n),
+                                   lambda m, n, k: (m, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((max(M, 8), N), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((max(M, 8), tile_n), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        )(x, packed, exps)
+
+    EPS = jnp.bfloat16(1e-4)
+
+    @jax.jit
+    def step(x, packed_l, exps_l):
+        def body(x, sl):
+            y = one(x, sl[0], sl[1])
+            return x + y[:, :K] * EPS, None
+
+        x, _ = jax.lax.scan(body, x, (packed_l, exps_l))
+        return x
+
+    return step
+
+
+def _intdot_kernel(xc_ref, xe_ref, p_ref, e_ref, o_ref, acc,
+                   *, group, mb, xmb):
+    """int8 MXU path: batched per-group int8 dots, scales applied to the
+    (G, M, TN) group partials in the epilogue — removes the O(K·N) float
+    dequant entirely (replaced by O(K·N/16·M) epilogue work)."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p8 = p_ref[:]
+    low = (p8 << 4) >> 4
+    high = p8 >> 4
+    wc = jnp.concatenate([low, high], axis=0)       # (TK, TN) int8
+    tk, tn = wc.shape
+    g = tk // group
+    wg = wc.reshape(g, group, tn)
+
+    xc = xc_ref[:]                                   # (M, TK) int8
+    m = xc.shape[0]
+    xg = xc.T.reshape(g, group, m)                   # (G, 16, M)
+
+    part = jax.lax.dot_general(
+        xg, wg, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                                # (G, M, TN) int32
+    swf = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)        # (G, TN)
+    sxf = jnp.exp2(xe_ref[:].astype(jnp.float32) - xmb)      # (M, G)
+    pf = part.astype(jnp.float32) * swf[:, None, :]
+    pf = pf * sxf.T[:, :, None]
+    acc[:] += jnp.sum(pf, axis=0)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def make_intdot_step(L, M, N, K, tile_n, tile_k, group=16, mb=3, xmb=7):
+    kern = functools.partial(_intdot_kernel, group=group, mb=mb, xmb=xmb)
+    grid = (1, N // tile_n, K // tile_k)
+
+    def one(xc, xe, packed, exps):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((max(M, 8), tile_k), lambda m, n, k: (m, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((max(M, 8), tile_k // group),
+                             lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_k // 2, tile_n), lambda m, n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_k // group, tile_n), lambda m, n, k: (k, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((max(M, 8), tile_n),
+                                   lambda m, n, k: (m, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((max(M, 8), N), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((max(M, 8), tile_n), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        )(xc, xe, packed, exps)
+
+    @jax.jit
+    def step(xc, xe, packed_l, exps_l):
+        def body(xc, sl):
+            y = one(xc, xe, sl[0], sl[1])
+            # data-dependent no-op feedback so the chain cannot be elided
+            xc = xc + (y[:, :K] * jnp.bfloat16(1e-30)).astype(jnp.int8)
+            return xc, None
+
+        xc, _ = jax.lax.scan(body, xc, (packed_l, exps_l))
+        return xc
+
+    return step
+
+
 def make_xla_step(K, group=16, mb=3):
     EPS = jnp.bfloat16(1e-4)
 
@@ -188,21 +444,20 @@ def make_dense_step(K):
     return step
 
 
-def marginal(fn, x0, lo=4, hi=20, warmup=2):
+def marginal(fn, x0, iters=64, warmup=2):
+    """Average per-iteration time of one long chained run — a conservative
+    upper bound (relay chain latency amortized to <1ms/iter; contention only
+    inflates). min over repeats = least-contended sample. See bench.py
+    _bench for why the short-vs-long marginal estimator was rejected."""
     x = x0
     for _ in range(warmup):
         x = fn(x)
     jax.block_until_ready(x)
-
-    def chain(iters):
-        x = x0
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            x = fn(x)
-        jax.block_until_ready(x)
-        return time.perf_counter() - t0
-
-    return (chain(hi) - chain(lo)) / (hi - lo)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = fn(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -216,12 +471,13 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--variants", nargs="+",
                     default=["full", "f32dot", "twodot", "xla", "dense16"])
+    ap.add_argument("--check-wide", action="store_true")
     args = ap.parse_args()
     M, N, K, L = args.m, args.n, args.k, args.layers
 
     key = jax.random.PRNGKey(0)
     x0 = (jax.random.normal(key, (M, K)) * 0.1).astype(jnp.bfloat16)
-    packed_l, exps_l, dense_l = [], [], []
+    packed_l, exps_l, dense_l, packed32_l = [], [], [], []
     for i in range(L):
         wt = jax.random.normal(jax.random.PRNGKey(10 + i), (K, N),
                                jnp.float32) * 0.02
@@ -230,10 +486,14 @@ def main():
         exps_l.append(exps)
         if "dense16" in args.variants:
             dense_l.append(wt.astype(jnp.bfloat16))
+        if "pack32" in args.variants:
+            packed32_l.append(pack_int4_k8(codes, tile_k=args.tile_k))
     packed_l = jnp.stack(packed_l)
     exps_l = jnp.stack(exps_l)
     if dense_l:
         dense_l = jnp.stack(dense_l)
+    if packed32_l:
+        packed32_l = jnp.stack(packed32_l)
 
     w4_bytes = (K * N // 2 + K * N // 16) * L
     for variant in args.variants:
@@ -245,6 +505,14 @@ def main():
             step = make_xla_step(K)
             fn = lambda x: step(x, packed_l, exps_l)
             nbytes = w4_bytes
+        elif variant == "wide":
+            step = make_wide_step(L, M, N, K, args.tile_k)
+            fn = lambda x: step(x, packed_l, exps_l)
+            nbytes = w4_bytes
+        elif variant == "pack32":
+            step = make_pack32_step(L, M, N, K, args.tile_n, args.tile_k)
+            fn = lambda x: step(x, packed32_l, exps_l)
+            nbytes = w4_bytes
         else:
             step = make_pallas_step(variant, L, M, N, K, args.tile_n,
                                     args.tile_k)
@@ -254,6 +522,17 @@ def main():
         per_gemm = t / L
         print(f"{variant:>8}: {per_gemm*1e6:8.1f} us/gemm  "
               f"({nbytes/t/1e9:6.0f} GB/s streamed)")
+
+    if args.check_wide:
+        # numeric cross-check: wide == twodot_bf16 == full (same math)
+        one_full = make_pallas_step("full", 1, M, N, K, args.tile_n,
+                                    args.tile_k)
+        one_wide = make_wide_step(1, M, N, K, args.tile_k)
+        import numpy as np_
+
+        a = np_.asarray(one_full(x0, packed_l[:1], exps_l[:1]))
+        b = np_.asarray(one_wide(x0, packed_l[:1], exps_l[:1]))
+        print("wide-vs-full chain-out maxerr:", np_.abs(a - b).max())
 
 
 if __name__ == "__main__":

@@ -74,6 +74,40 @@ def _kernel(x_ref, p_ref, e_ref, o_ref, acc, *, variant, group, mb):
         high = (p << 24) >> 28
     scale = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)  # (TK/g, TN)
 
+    if variant in ("ab_convonly", "ab_noscale", "ab_noshift"):
+        # ---- VPU ablations (wrong numerics, timing only) ----
+        # Same HBM bytes and the same two half-K dots as `twodot`; each drops
+        # part of the dequant chain to attribute its VPU cost:
+        #   ab_convonly — int8 -> bf16 convert only (no shifts, no scale)
+        #   ab_noscale  — shifts + f32 convert + bf16 cast (no scale mul)
+        #   ab_noshift  — f32 convert + group-scale mul + bf16 cast (no shifts)
+        p8 = p_ref[:]
+        tk2, tn = p8.shape
+        hg = tk2 // group
+        x = x_ref[:]
+        if variant == "ab_convonly":
+            w_lo = p8.astype(jnp.bfloat16)
+            w_hi = (p8 + 1).astype(jnp.bfloat16)
+        elif variant == "ab_noscale":
+            p = p8.astype(jnp.int32)
+            w_lo = ((p << 28) >> 28).astype(jnp.float32).astype(jnp.bfloat16)
+            w_hi = ((p << 24) >> 28).astype(jnp.float32).astype(jnp.bfloat16)
+        else:  # ab_noshift
+            def scaled(codes, s):
+                c = codes.astype(jnp.float32)
+                return (c.reshape(hg, group, tn) * s[:, None, :]
+                        ).reshape(tk2, tn).astype(jnp.bfloat16)
+
+            w_lo = scaled(p8, scale[:hg])
+            w_hi = scaled(p8 + 1, scale[hg:])
+        acc[:] += jnp.dot(x[:, :tk2], w_lo, preferred_element_type=jnp.float32)
+        acc[:] += jnp.dot(x[:, tk2:], w_hi, preferred_element_type=jnp.float32)
+
+        @pl.when(k == nk - 1)
+        def _():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+        return
     if variant in ("twodot", "twodot_bf16", "twodot_bf16mul"):
         tk2, tn = low.shape
         half_g = tk2 // group

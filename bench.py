@@ -72,7 +72,7 @@ def _chain(fn, x0, iters):
     t0 = time.perf_counter()
     for _ in range(iters):
         x = fn(x)
-    jax.block_until_ready(x)
+    jax.device_get(x)
     return time.perf_counter() - t0
 
 
@@ -80,19 +80,24 @@ def _bench(fn, x0, iters=128, warmup=4):
     """Chained timing: ``fn(x) -> x_next`` so every iteration depends on the
     previous (forces real serial execution — independent dispatch loops have
     been measured above HBM speed-of-light through this environment's remote
-    relay, i.e. elided/overlapped). Returns the long chain's AVERAGE
+    relay, i.e. elided/overlapped). The chain is drained with
+    ``jax.device_get`` — a VALUE fetch: on this relay ``block_until_ready``
+    returns before device execution completes (round-3 measurement: 185 MB
+    streamed "in" 0.09 ms = 2 TB/s with block_until_ready; 9.2 ms = 183 GB/s
+    with a value fetch), so only fetching bytes that depend on the whole
+    chain gives a true end-to-end time. Returns the long chain's AVERAGE
     per-iteration time: a conservative upper bound on the true step —
-    chip contention and the relay's fixed chain latency (~40 ms, amortized
-    to <0.5 ms/iter at this length) can only inflate it, never deflate it.
-    The caller takes the MIN over repeats: with a bias-free-upward
-    estimator, the minimum is the least-contended sample. (A short-vs-long
-    marginal estimator was tried first and rejected: a contention burst
-    during the short chain biases the difference LOW, and min-picking then
-    selects exactly those corrupted samples.)"""
+    chip contention and the relay's fixed chain latency (amortized at this
+    length) can only inflate it, never deflate it. The caller takes the MIN
+    over repeats: with a bias-free-upward estimator, the minimum is the
+    least-contended sample. (A short-vs-long marginal estimator was tried
+    first and rejected: a contention burst during the short chain biases the
+    difference LOW, and min-picking then selects exactly those corrupted
+    samples.)"""
     x = x0
     for _ in range(warmup):
         x = fn(x)
-    jax.block_until_ready(x)
+    jax.device_get(x)
     return _chain(fn, x0, iters) / iters
 
 
@@ -156,15 +161,15 @@ def main():
     def _stack(trees):
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
-    qkv_arr = _stack([{k: p[k] for k in ("packed", "exps", "a", "b")}
+    qkv_arr = _stack([{k: p[k] for k in ("tiles", "a", "b")}
                       for p in preps_qkv])
-    o_arr = _stack([{k: p[k] for k in ("packed", "exps", "a", "b")}
+    o_arr = _stack([{k: p[k] for k in ("tiles", "a", "b")}
                     for p in preps_o])
-    mlp_static = {k: mlp_preps[0][k]
-                  for k in ("gated", "fmt", "tile_k", "tile_k2")}
+    MLP_STATIC = ("gated", "fmt", "tile_k", "tile_k2", "tile_i", "tile_n")
+    mlp_static = {k: mlp_preps[0][k] for k in MLP_STATIC}
     mlp_arr = _stack([
         {k: v for k, v in p.items()
-         if k not in ("gated", "fmt", "tile_k", "tile_k2") and v is not None}
+         if k not in MLP_STATIC and v is not None}
         for p in mlp_preps
     ])
 
@@ -172,10 +177,12 @@ def main():
     def step_fused(x, qkv_arr, o_arr, mlp_arr):
         def layer(x, sl):
             sq, so, sm = sl
-            pq = {**sq, "bias": None, "tile_k": TILE_K, "fmt": preps_qkv[0]["fmt"]}
-            po = {**so, "bias": None, "tile_k": TILE_K, "fmt": preps_qkv[0]["fmt"]}
+            pq = {**sq, "bias": None, "tile_k": TILE_K, "tile_n": TILE_N,
+                  "fmt": preps_qkv[0]["fmt"]}
+            po = {**so, "bias": None, "tile_k": TILE_K, "tile_n": TILE_N,
+                  "fmt": preps_qkv[0]["fmt"]}
             pm = {**mlp_static, **sm,
-                  "pu": sm.get("pu"), "bias_g": None, "bias_u": None,
+                  "tu": sm.get("tu"), "bias_g": None, "bias_u": None,
                   "bias_d": None}
             qkv = qlinear_w4_fused(x, pq, tile_m=8, tile_n=TILE_N,
                                    out_dtype=jnp.bfloat16)

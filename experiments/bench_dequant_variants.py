@@ -9,13 +9,22 @@ and the per-iteration time taken as the marginal between a short and a long
 chain.
 
 Variants of the W4 dequant pipeline inside the kernel:
-  full     — shifts -> concat -> f32 -> scale-mul -> bf16 -> dot (today)
-  f32dot   — skip the final bf16 cast; dot in f32 (identical products for
-             MXINT grids)
-  twodot   — no concat: two half-K dots on the separately-scaled nibble
-             planes
-  dense16  — XLA bf16 dot streaming real (K,N) bf16 weights (2x HBM bytes)
-  xla      — no pallas: jnp unpack+scale+dot, XLA-fused
+  full        — shifts -> concat -> f32 -> scale-mul -> bf16 -> dot (today)
+  f32dot      — skip the final bf16 cast; dot in f32 (identical products
+                for MXINT grids)
+  twodot      — no concat: two half-K dots on the separately-scaled nibble
+                planes
+  twodot_bf16 — twodot with bf16 x and bf16 dequant multiply
+  twodot_bf16mul — twodot with f32 convert but bf16 scale-multiply
+  stream      — fetch-only lower bound (reduce the packed tile, no dequant)
+  i8shift     — int8-native nibble shifts (no int32 expansion)
+  ab_convonly / ab_noscale / ab_noshift — ablations dropping one dequant
+                stage at a time (scale-mul / shift) to price each stage
+  wide        — full-N contiguous slab tiles (tile_n = N)
+  pack32      — int32-word-packed codes (8 nibbles/word; Mosaic gather bug)
+  intdot      — int8 group dots, scale applied to int32 partials
+  dense16     — XLA bf16 dot streaming real (K,N) bf16 weights (2x HBM bytes)
+  xla         — no pallas: jnp unpack+scale+dot, XLA-fused
 """
 
 import argparse

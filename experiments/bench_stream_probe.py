@@ -38,19 +38,34 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _stream_kernel(p_ref, o_ref, acc):
-    """Full-tile touch: a narrow read (earlier revision read only 8x128 of
-    each block) lets Mosaic narrow the DMA window itself — measured an
-    impossible 10 TB/s. A whole-tile max forces every byte across the bus;
-    the VPU reduce costs ~1 op/element, negligible vs DMA at these rates."""
+def _stream_kernel(x_ref, p_ref, o_ref, acc):
+    """Full-tile touch with a REAL chain dependency.
+
+    Two hard-won methodology rules are embedded here:
+    * a narrow read (earlier revision read only 8x128 of each block) lets
+      Mosaic narrow the DMA window itself — measured an impossible 10 TB/s;
+      a whole-tile max forces every byte across the bus.
+    * the kernel must CONSUME the chained x (acc starts from x_ref): if the
+      streamed reduce is independent of x, the remote relay overlaps the
+      "chained" dispatches across backend resources and the probe reads
+      above speed-of-light (measured 12.4 TB/s round 3) — the round-2
+      revision of this probe had that flaw, so its 285/535 GB/s numbers
+      under-measured both sides.
+
+    The VPU touch is an int32-bitcast max (int8 reductions are
+    unimplemented in Mosaic; the 4x element cut also keeps the touch cost
+    well below the DMA rates being measured)."""
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
     @pl.when(k == 0)
     def _():
-        acc[:] = jnp.zeros_like(acc)
+        acc[:] = x_ref[:]
 
-    acc[0, 0] += jnp.max(p_ref[:]).astype(jnp.float32)
+    v = p_ref[:]
+    if v.dtype == jnp.int8:
+        v = pltpu.bitcast(v, jnp.int32)
+    acc[:] = acc[:] + jnp.max(v).astype(jnp.float32)
 
     @pl.when(k == nk - 1)
     def _():
@@ -58,20 +73,32 @@ def _stream_kernel(p_ref, o_ref, acc):
 
 
 def make_stream_step(rows, cols, tile_r, tile_c, dtype, buffers,
-                     lookahead=False):
+                     lookahead=False, contiguous=False):
     grid = (cols // tile_c, rows // tile_r)  # r innermost: walk down K
 
     mode = None
     if buffers != 2:
         mode = pl.Buffered(buffer_count=buffers, use_lookahead=lookahead)
 
-    def one(p):
+    if contiguous:
+        # tile-major 4D layout: every (tile_r, tile_c) block is ONE
+        # contiguous slab in HBM (the round-3 fetch fix hypothesis: the
+        # 2D strided layout DMAs tile_r separate tile_c-byte rows)
+        in_spec = pl.BlockSpec(
+            (None, None, tile_r, tile_c), lambda c, r: (r, c, 0, 0),
+            memory_space=pltpu.VMEM, pipeline_mode=mode)
+    else:
+        in_spec = pl.BlockSpec((tile_r, tile_c), lambda c, r: (r, c),
+                               memory_space=pltpu.VMEM, pipeline_mode=mode)
+
+    def one(x, p):
         return pl.pallas_call(
             _stream_kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tile_r, tile_c), lambda c, r: (r, c),
-                             memory_space=pltpu.VMEM, pipeline_mode=mode),
+                pl.BlockSpec((8, 128), lambda c, r: (0, 0),
+                             memory_space=pltpu.VMEM),
+                in_spec,
             ],
             out_specs=pl.BlockSpec((8, 128), lambda c, r: (0, 0),
                                    memory_space=pltpu.VMEM),
@@ -79,13 +106,18 @@ def make_stream_step(rows, cols, tile_r, tile_c, dtype, buffers,
             scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
-        )(p)
+        )(x, p)
 
     @jax.jit
     def step(x, p_l):
         def body(x, p):
-            y = one(p)
-            return x + y * jnp.float32(1e-30), None
+            # the kernel CONSUMES x (acc init) — serializes layer fetches.
+            # `x + 1` keeps the chained value strictly non-convergent: a
+            # converged x makes every outer dispatch bit-identical, and this
+            # environment's relay memoizes identical dispatches (measured
+            # 7 TB/s before this fix).
+            y = one(x, p)
+            return x + 1.0 + y * jnp.float32(1e-30), None
 
         x, _ = jax.lax.scan(body, x, p_l)
         return x
@@ -136,7 +168,14 @@ def main():
             @jax.jit
             def xstep(x, p_l):
                 def body(x, p):
-                    return x + jnp.max(p).astype(jnp.float32) * 1e-30, None
+                    # fold x into the streamed bytes so each layer's read
+                    # depends on the previous layer (same rule as the
+                    # pallas kernel — see _stream_kernel docstring)
+                    pi = p + x[0, 0].astype(p.dtype)
+                    m = jnp.max(jax.lax.bitcast_convert_type(
+                        pi.reshape(rows, cols // 4, 4), jnp.int32))
+                    # non-convergent chain — see _stream_kernel docstring
+                    return x + 1.0 + m.astype(jnp.float32) * 1e-30, None
                 x, _ = jax.lax.scan(body, x, p_l)
                 return x
 
@@ -146,32 +185,39 @@ def main():
             print(f"{case:>18}: {t*1e3:7.3f} ms/step  "
                   f"{total/t/1e9:6.1f} GB/s  ({total/1e6:.0f} MB/step)")
             continue
-        dt_s, shape_s, buf_s = case.split("_")
-        tile_r, tile_c = (int(v) for v in shape_s.split("x"))
-        dtype = {"i8": jnp.int8, "i32": jnp.int32, "f32": jnp.float32}[dt_s]
-        esize = jnp.dtype(dtype).itemsize
-        lookahead = buf_s.endswith("la")
-        buffers = int(buf_s.rstrip("la").lstrip("b"))
-
-        bytes_per_layer = args.mbytes * 1024 * 1024
-        elems = bytes_per_layer // esize
-        rows = max(tile_r, (elems // tile_c // tile_r) * tile_r)
-        cols = tile_c * 2  # two column tiles like the N sweep
-        rows = max(tile_r, rows // 2)
-        total = rows * cols * esize * L
-
-        key = jax.random.PRNGKey(0)
-        if dtype == jnp.float32:
-            p_l = jax.random.normal(key, (L, rows, cols), jnp.float32)
-        else:
-            p_l = jax.random.randint(key, (L, rows, cols), -100, 100,
-                                     jnp.int32).astype(dtype)
-        x0 = jnp.zeros((8, 128), jnp.float32)
-
-        step = make_stream_step(rows, cols, tile_r, tile_c, dtype, buffers,
-                                lookahead)
-        fn = lambda x: step(x, p_l)  # noqa: E731
         try:
+            dt_s, shape_s, buf_s = case.split("_")
+            contiguous = dt_s.startswith("c")
+            dt_key = "i" + dt_s[1:] if contiguous else dt_s
+            tile_r, tile_c = (int(v) for v in shape_s.split("x"))
+            dtype = {"i8": jnp.int8, "i32": jnp.int32,
+                     "f32": jnp.float32}[dt_key]
+            esize = jnp.dtype(dtype).itemsize
+            lookahead = buf_s.endswith("la")
+            buffers = int(buf_s.rstrip("la").lstrip("b"))
+
+            bytes_per_layer = args.mbytes * 1024 * 1024
+            elems = bytes_per_layer // esize
+            rows = max(tile_r, (elems // tile_c // tile_r) * tile_r)
+            cols = tile_c * 2  # two column tiles like the N sweep
+            # halve rows but keep them a multiple of tile_r, so the grid
+            # covers the array exactly and `total` counts streamed bytes
+            rows = max(tile_r, (rows // 2 // tile_r) * tile_r)
+            total = rows * cols * esize * L
+
+            key = jax.random.PRNGKey(0)
+            shape = ((L, rows // tile_r, cols // tile_c, tile_r, tile_c)
+                     if contiguous else (L, rows, cols))
+            if dtype == jnp.float32:
+                p_l = jax.random.normal(key, shape, jnp.float32)
+            else:
+                p_l = jax.random.randint(key, shape, -100, 100,
+                                         jnp.int32).astype(dtype)
+            x0 = jnp.zeros((8, 128), jnp.float32)
+
+            step = make_stream_step(rows, cols, tile_r, tile_c, dtype,
+                                    buffers, lookahead, contiguous)
+            fn = lambda x: step(x, p_l)  # noqa: E731
             t = min(chain_time(fn, x0, iters=args.iters)
                     for _ in range(args.repeats))
         except Exception as e:  # noqa: BLE001

@@ -13,6 +13,14 @@ feeds both the main MXU dot and the rank-k correction dot, sharing the
 activation HBM load (`quantized_layers/linear.py:145-157` is the emulated
 math being reproduced).
 
+Storage (round 3): weights are **tile-major co-packed** — one int8 array
+``(K/tile_k, N/tile_n, S, tile_n)`` whose (k, n) slab holds the K-split
+nibble-packed codes followed by the per-group exponents, so each grid step's
+weight fetch is a single contiguous ~0.5 MB DMA (see
+``storage.pack_w4_tiles``). The previous 2D layout made every tile fetch
+``tile_k/2`` strided ``tile_n``-byte rows plus a second tiny exponent
+stream, and measured ~3.5x below the XLA dense dot's streaming rate.
+
 Numerics: X_q is pre-quantized MXINT8 dequantized to bf16 (exact — ≤8-bit
 mantissa integers), W4 mantissas are exact in bf16, the MXU accumulates in
 f32 ⇒ results match the fp32 fake-quant GEMM up to accumulation order.
@@ -31,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..storage import MXINT4, MXFormat, pack_int4_ksplit, quantize_mx
+from ..storage import MXINT4, MXFormat, pack_w4_tiles, quantize_mx
 from ..quantizers import block_fp_quantizer
 
 
@@ -65,19 +73,21 @@ def _quantize_rows_mx(x: jnp.ndarray, mb: int, group: int = 16) -> jnp.ndarray:
     return q.reshape(n, m).T
 
 
-def _dot_w4(x, p_ref, e_ref, mb: int, group: int) -> jnp.ndarray:
-    """``x @ dequant(W4_tile)`` as TWO half-K dots on the separately-scaled
-    nibble planes of the K-split layout (low nibbles = first half of the K
-    tile, high = second). Skipping the sublane concat that a single full-K
-    dot needs is ~25% faster on this kernel's decode shapes (marginal-chained
-    scan measurement, experiments/bench_dequant_variants.py; an earlier
-    unchained measurement that preferred the concat was an artifact of the
-    remote relay overlapping independent dispatches)."""
-    p = p_ref[:].astype(jnp.int32)  # (TK/2, TN)
+def _dot_w4(x, t_ref, mb: int, group: int, tile_k: int) -> jnp.ndarray:
+    """``x @ dequant(W4_tile)`` from a co-packed tile ref: rows ``[0, TK/2)``
+    hold the packed codes (low nibbles = first half of the K tile, high =
+    second — the K-split layout), rows ``[TK/2, TK/2 + TK/group)`` the int8
+    shared exponents. TWO half-K dots on the separately-scaled nibble planes
+    skip the sublane concat a single full-K dot needs (~25% on decode
+    shapes, experiments/bench_dequant_variants.py)."""
+    tk2 = tile_k // 2
+    ge = tile_k // group
+    p = t_ref[0:tk2, :].astype(jnp.int32)
+    e = t_ref[tk2:tk2 + ge, :]
     low = (p << 28) >> 28
     high = (p << 24) >> 28
-    scale = jnp.exp2(e_ref[:].astype(jnp.float32) - mb)  # (TK/g, TN)
-    tk2, tn = low.shape
+    scale = jnp.exp2(e.astype(jnp.float32) - mb)  # (TK/g, TN)
+    tn = p.shape[1]
     hg = tk2 // group
 
     def scaled(codes, s):
@@ -92,7 +102,7 @@ def _dot_w4(x, p_ref, e_ref, mb: int, group: int) -> jnp.ndarray:
 
 
 def _kernel(
-    x_ref, p_ref, e_ref, a_ref, b_ref, bias_ref, o_ref, acc, xa,
+    x_ref, t_ref, a_ref, b_ref, bias_ref, o_ref, acc, xa,
     *, mb: int, tile_k: int, group: int, rank: int, has_bias: bool,
     quant_xa_mb: int | None, quant_out_mb: int | None,
 ):
@@ -105,7 +115,7 @@ def _kernel(
         acc[:] = jnp.zeros_like(acc)
 
     x = x_ref[:]
-    acc[:] += _dot_w4(x, p_ref, e_ref, mb, group)
+    acc[:] += _dot_w4(x, t_ref, mb, group, tile_k)
 
     # ---- rank-k partial: computed once per M tile (n == 0 sweep) ----
     # The tiny rank-k dots run with f32 operands: identical products (MXINT
@@ -152,28 +162,40 @@ def prepare_w4_weights(
     bias: jnp.ndarray | None = None,
     fmt: MXFormat = MXINT4,
     tile_k: int = 256,
+    tile_n: int | None = None,
 ):
     """Offline prep: ``w (out, in)`` → packed serving params.
 
-    Returns dict with ``packed (K/2, N) int8``, ``exps (K/16, N) int8``,
-    ``a (K, R) bf16``, ``b (R, N) bf16``, ``bias (1, N) f32`` (K=in, N=out —
-    the kernel computes X·W^T so weights are stored transposed).
+    Returns dict with ``tiles (K/tile_k, N/tile_n, S, tile_n) int8`` (the
+    tile-major co-packed codes+exponents layout, K=in, N=out — the kernel
+    computes X·W^T so weights are stored transposed), ``a (K, R) bf16``,
+    ``b (R, N) bf16``, ``bias (1, N) f32``, plus the static tile geometry.
     """
     wt = jnp.asarray(w, jnp.float32).T  # (K, N)
     K, N = wt.shape
     assert K % tile_k == 0, (K, tile_k)
+    if tile_n is None:
+        tile_n = _default_tile_n(N)
+    assert N % tile_n == 0, (N, tile_n)
     codes, exps = quantize_mx(wt, fmt)
-    packed = pack_int4_ksplit(codes, tile_k=tile_k)
+    tiles = pack_w4_tiles(codes, exps, tile_k, tile_n, fmt.group_size)
     out = {
-        "packed": packed,
-        "exps": exps,
+        "tiles": tiles,
         "tile_k": tile_k,
+        "tile_n": tile_n,
         "fmt": fmt,
         "a": None if a is None else jnp.asarray(a, jnp.bfloat16),
         "b": None if b is None else jnp.asarray(b, jnp.bfloat16),
         "bias": None if bias is None else jnp.asarray(bias, jnp.float32)[None, :],
     }
     return out
+
+
+def _default_tile_n(n: int) -> int:
+    for tn in (1024, 512, 256, 128):
+        if n % tn == 0:
+            return tn
+    raise ValueError(f"out_features {n} not divisible by a supported tile")
 
 
 @functools.partial(
@@ -184,23 +206,22 @@ def prepare_w4_weights(
     ),
 )
 def _fused_call(
-    x_q, packed, exps, a, b, bias,
+    x_q, tiles, a, b, bias,
     *, mb, group, tile_m, tile_n, tile_k, rank,
     quant_xa_mb, quant_out_mb, out_dtype, interpret,
 ):
     M, K = x_q.shape
-    N = packed.shape[1]
-    grid = (M // tile_m, N // tile_n, K // tile_k)
+    n_k, n_n, S, _ = tiles.shape
+    N = n_n * tile_n
+    grid = (M // tile_m, n_n, n_k)
 
     in_specs = [
         pl.BlockSpec((tile_m, tile_k), lambda m, n, k: (m, k),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_k // 2, tile_n), lambda m, n, k: (k, n),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_k // group, tile_n), lambda m, n, k: (k, n),
+        pl.BlockSpec((None, None, S, tile_n), lambda m, n, k: (k, n, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [x_q.astype(jnp.bfloat16), packed, exps]
+    args = [x_q.astype(jnp.bfloat16), tiles]
     if rank > 0:
         in_specs += [
             pl.BlockSpec((tile_k, rank), lambda m, n, k: (k, 0),
@@ -244,7 +265,7 @@ def _fused_call(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K + (2 * M * K * rank + 2 * M * rank * N),
-            bytes_accessed=M * K * 2 + K * N // 2 + K * N // group + M * N * 2,
+            bytes_accessed=M * K * 2 + n_k * n_n * S * tile_n + M * N * 2,
             transcendentals=0,
         ),
         compiler_params=compiler_params,
@@ -256,8 +277,8 @@ def _kernel_variant(rank: int, has_bias: bool):
     """Adapter dropping absent refs from the kernel signature."""
 
     def k_fn(*refs, **kw):
-        # refs layout: x, p, e, [a, b], [bias], o, acc, xa
-        idx = 3
+        # refs layout: x, tiles, [a, b], [bias], o, acc, xa
+        idx = 2
         a_ref = b_ref = bias_ref = None
         refs = list(refs)
         if rank > 0:
@@ -268,7 +289,7 @@ def _kernel_variant(rank: int, has_bias: bool):
             idx += 1
         o_ref, acc, xa = refs[idx], refs[idx + 1], refs[idx + 2]
         return _kernel(
-            refs[0], refs[1], refs[2], a_ref, b_ref, bias_ref, o_ref, acc, xa,
+            refs[0], refs[1], a_ref, b_ref, bias_ref, o_ref, acc, xa,
             **kw,
         )
 
@@ -280,7 +301,7 @@ def qlinear_w4_fused(
     prep: dict,
     *,
     tile_m: int = 128,
-    tile_n: int = 512,
+    tile_n: int | None = None,
     quant_xa_width: int | None = 8,
     quant_out_width: int | None = 8,
     out_dtype=jnp.float32,
@@ -290,6 +311,8 @@ def qlinear_w4_fused(
     activation-quantized (MXINT8 dequantized values, exact in bf16);
     ``prep`` comes from :func:`prepare_w4_weights`.
 
+    ``tile_n`` is baked into the prep's tile-major storage; the kwarg is
+    accepted for interface stability and must match when given.
     ``quant_xa_width``/``quant_out_width`` emulate the reference's
     A_out/B_out quantizers on the low-rank partials (None disables).
     ``interpret=None`` auto-selects interpreter mode off-TPU.
@@ -298,7 +321,12 @@ def qlinear_w4_fused(
         interpret = jax.default_backend() != "tpu"
     fmt: MXFormat = prep["fmt"]
     M, K = x_q.shape
-    N = prep["packed"].shape[1]
+    if tile_n is not None and tile_n != prep["tile_n"]:
+        raise ValueError(
+            f"tile_n={tile_n} differs from the prep's tile-major layout "
+            f"({prep['tile_n']}); re-pack with prepare_w4_weights(tile_n=...)"
+        )
+    tn = prep["tile_n"]
     a, b = prep["a"], prep["b"]
     rank = 0 if a is None else a.shape[1]
     tile_k = prep["tile_k"]
@@ -307,11 +335,10 @@ def qlinear_w4_fused(
     if M % tm != 0 or M < 8:
         pad = -M % tm if M >= 8 else 8 - M
         x_q = jnp.pad(x_q, ((0, pad), (0, 0)))
-    tn = min(tile_n, N)
-    assert N % tn == 0 and K % tile_k == 0
+    assert K % tile_k == 0
 
     out = _fused_call(
-        x_q, prep["packed"], prep["exps"], a, b, prep["bias"],
+        x_q, prep["tiles"], a, b, prep["bias"],
         mb=fmt.mantissa_bits, group=fmt.group_size,
         tile_m=tm, tile_n=tn, tile_k=tile_k, rank=rank,
         quant_xa_mb=None if quant_xa_width is None else quant_xa_width - 1,

@@ -62,13 +62,13 @@ def _corr(xa_val, b_ref, quant_xa_mb, quant_out_mb, lo=None, hi=None):
 
 def _mlp_kernel(
     # inputs (refs in this order; absent ones dropped by the adapter):
-    x_ref, pg_ref, eg_ref, pu_ref, eu_ref, pd_ref, ed_ref,
+    x_ref, tg_ref, tu_ref, td_ref,
     agu_ref, bg_ref, bu_ref, ad_ref, bd_ref,
     biasg_ref, biasu_ref, biasd_ref,
     o_ref,
     acc_g, acc_u, acc_d, xa_gu, xa_d, inter,
     *, mb, group, gated, act_mb,
-    n_i, n_k, n_n, n_k2, tile_i, tile_k2,
+    n_i, n_k, n_n, n_k2, tile_i, tile_k, tile_k2,
     rank_gu, rank_d, has_bias,
     quant_xa_mb, quant_out_mb,
 ):
@@ -91,9 +91,9 @@ def _mlp_kernel(
                 acc_u[:] = jnp.zeros_like(acc_u)
 
         x = x_ref[:]
-        acc_g[:] += _dot_w4(x, pg_ref, eg_ref, mb, group)
+        acc_g[:] += _dot_w4(x, tg_ref, mb, group, tile_k)
         if gated:
-            acc_u[:] += _dot_w4(x, pu_ref, eu_ref, mb, group)
+            acc_u[:] += _dot_w4(x, tu_ref, mb, group, tile_k)
 
         if rank_gu > 0:
             @pl.when(i == 0)
@@ -139,7 +139,7 @@ def _mlp_kernel(
 
         h_tile = inter[:, pl.ds(k2 * tile_k2, tile_k2)]
         h_bf = h_tile.astype(jnp.bfloat16)
-        acc_d[:] += _dot_w4(h_bf, pd_ref, ed_ref, mb, group)
+        acc_d[:] += _dot_w4(h_bf, td_ref, mb, group, tile_k2)
 
         if rank_d > 0:
             @pl.when(n == 0)
@@ -173,14 +173,21 @@ def prepare_mlp_weights(
     fmt: MXFormat = MXINT4,
     tile_k: int = 256,
     tile_k2: int = 256,
+    tile_i: int | None = None,
+    tile_n: int | None = None,
 ) -> dict:
     """Offline prep for :func:`mlp_w4_fused`. A_gate/A_up concatenate along
-    rank (shared input ⇒ shared X·A sweep); B stay separate per half."""
+    rank (shared input ⇒ shared X·A sweep); B stay separate per half.
+    ``tile_i``/``tile_n`` fix the tile-major storage's N-side tiling for the
+    gate/up and down weights respectively (default: widest divisor ≤ 1024)."""
     gated = w_up is not None
-    pg = prepare_w4_weights(w_gate, bias=bias_gate, fmt=fmt, tile_k=tile_k)
-    pu = (prepare_w4_weights(w_up, bias=bias_up, fmt=fmt, tile_k=tile_k)
+    pg = prepare_w4_weights(w_gate, bias=bias_gate, fmt=fmt, tile_k=tile_k,
+                            tile_n=tile_i)
+    pu = (prepare_w4_weights(w_up, bias=bias_up, fmt=fmt, tile_k=tile_k,
+                             tile_n=tile_i)
           if gated else None)
-    pd = prepare_w4_weights(w_down, bias=bias_down, fmt=fmt, tile_k=tile_k2)
+    pd = prepare_w4_weights(w_down, bias=bias_down, fmt=fmt, tile_k=tile_k2,
+                            tile_n=tile_n)
     a_gu = None
     if a_gate is not None:
         if gated:
@@ -195,10 +202,11 @@ def prepare_mlp_weights(
         "fmt": fmt,
         "tile_k": tile_k,
         "tile_k2": tile_k2,
-        "pg": pg["packed"], "eg": pg["exps"],
-        "pu": None if pu is None else pu["packed"],
-        "eu": None if pu is None else pu["exps"],
-        "pd": pd["packed"], "ed": pd["exps"],
+        "tile_i": pg["tile_n"],
+        "tile_n": pd["tile_n"],
+        "tg": pg["tiles"],
+        "tu": None if pu is None else pu["tiles"],
+        "td": pd["tiles"],
         "a_gu": a_gu,
         "b_g": None if b_gate is None else jnp.asarray(b_gate, jnp.bfloat16),
         "b_u": None if b_up is None else jnp.asarray(b_up, jnp.bfloat16),
@@ -219,15 +227,16 @@ def prepare_mlp_weights(
     ),
 )
 def _mlp_call(
-    x_q, pg, eg, pu, eu, pd, ed, a_gu, b_g, b_u, a_d, b_d,
+    x_q, tg, tu, td, a_gu, b_g, b_u, a_d, b_d,
     bias_g, bias_u, bias_d,
     *, mb, group, gated, act_width, tile_m, tile_i, tile_n, tile_k, tile_k2,
     rank_gu, rank_d, has_bias, quant_xa_mb, quant_out_mb, out_dtype,
     interpret,
 ):
     M, K = x_q.shape
-    I = pg.shape[1]
-    N = pd.shape[1]
+    I = tg.shape[1] * tile_i
+    N = td.shape[1] * tile_n
+    Sg, Sd = tg.shape[2], td.shape[2]
     n_i, n_k = I // tile_i, K // tile_k
     n_n, n_k2 = N // tile_n, I // tile_k2
     P = n_i * n_k + n_n * n_k2
@@ -254,13 +263,10 @@ def _mlp_call(
 
     add(x_q.astype(jnp.bfloat16), (tile_m, tile_k),
         lambda m, p: c(m, p1_idx(p)[0]))
-    add(pg, (tile_k // 2, tile_i), lambda m, p: c(*p1_idx(p)))
-    add(eg, (tile_k // group, tile_i), lambda m, p: c(*p1_idx(p)))
+    add(tg, (None, None, Sg, tile_i), lambda m, p: c(*p1_idx(p), 0, 0))
     if gated:
-        add(pu, (tile_k // 2, tile_i), lambda m, p: c(*p1_idx(p)))
-        add(eu, (tile_k // group, tile_i), lambda m, p: c(*p1_idx(p)))
-    add(pd, (tile_k2 // 2, tile_n), lambda m, p: c(*p2_idx(p)))
-    add(ed, (tile_k2 // group, tile_n), lambda m, p: c(*p2_idx(p)))
+        add(tu, (None, None, Sg, tile_i), lambda m, p: c(*p1_idx(p), 0, 0))
+    add(td, (None, None, Sd, tile_n), lambda m, p: c(*p2_idx(p), 0, 0))
     if rank_gu > 0:
         add(a_gu, (tile_k, rank_gu), lambda m, p: c(p1_idx(p)[0], 0))
         add(b_g, (b_g.shape[0], tile_i), lambda m, p: c(0, p1_idx(p)[1]))
@@ -280,14 +286,14 @@ def _mlp_call(
         mb=mb, group=group, gated=gated,
         act_mb=None if act_width is None else act_width - 1,
         n_i=n_i, n_k=n_k, n_n=n_n, n_k2=n_k2,
-        tile_i=tile_i, tile_k2=tile_k2,
+        tile_i=tile_i, tile_k=tile_k, tile_k2=tile_k2,
         rank_gu=rank_gu, rank_d=rank_d, has_bias=has_bias,
         quant_xa_mb=quant_xa_mb, quant_out_mb=quant_out_mb,
     )
 
     flops = 2 * M * K * I * (2 if gated else 1) + 2 * M * I * N
-    bytes_acc = (M * K * 2 + (K * I // 2 + K * I // group) * (2 if gated else 1)
-                 + I * N // 2 + I * N // group + M * N * 4)
+    bytes_acc = (M * K * 2 + tg.size * (2 if gated else 1)
+                 + td.size + M * N * 4)
     return pl.pallas_call(
         kernel,
         grid=(n_m, P),
@@ -326,9 +332,9 @@ def _mlp_kernel_variant(gated, rank_gu, rank_d, has_bias):
             return None
 
         x = take(True)
-        pg, eg = take(True), take(True)
-        pu, eu = take(gated), take(gated)
-        pd, ed = take(True), take(True)
+        tg = take(True)
+        tu = take(gated)
+        td = take(True)
         agu = take(rank_gu > 0)
         bg = take(rank_gu > 0)
         bu = take(rank_gu > 0 and gated)
@@ -340,7 +346,7 @@ def _mlp_kernel_variant(gated, rank_gu, rank_d, has_bias):
         o_ref = refs[idx]
         acc_g, acc_u, acc_d, xa_gu, xa_d, inter = refs[idx + 1:idx + 7]
         return _mlp_kernel(
-            x, pg, eg, pu, eu, pd, ed, agu, bg, bu, ad, bd,
+            x, tg, tu, td, agu, bg, bu, ad, bd,
             biasg, biasu, biasd, o_ref,
             acc_g, acc_u, acc_d, xa_gu, xa_d, inter, **kw,
         )
@@ -353,8 +359,8 @@ def mlp_w4_fused(
     prep: dict,
     *,
     tile_m: int = 128,
-    tile_i: int = 512,
-    tile_n: int = 512,
+    tile_i: int | None = None,
+    tile_n: int | None = None,
     act_width: int | None = 8,
     quant_xa_width: int | None = 8,
     quant_out_width: int | None = 8,
@@ -363,21 +369,25 @@ def mlp_w4_fused(
 ) -> jnp.ndarray:
     """Run the fused MLP. ``prep`` from :func:`prepare_mlp_weights`.
     ``act_width`` is the down-projection's activation quantizer width applied
-    to the intermediate (None disables)."""
+    to the intermediate (None disables). ``tile_i``/``tile_n`` are baked into
+    the prep's tile-major storage; the kwargs are accepted for interface
+    stability and must match when given."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fmt: MXFormat = prep["fmt"]
     M, K = x_q.shape
-    I = prep["pg"].shape[1]
-    N = prep["pd"].shape[1]
+    for name, given in (("tile_i", tile_i), ("tile_n", tile_n)):
+        if given is not None and given != prep[name]:
+            raise ValueError(
+                f"{name}={given} differs from the prep's tile-major layout "
+                f"({prep[name]}); re-pack with prepare_mlp_weights(...)"
+            )
+    ti, tn = prep["tile_i"], prep["tile_n"]
 
     tm = min(tile_m, M) if M >= 8 else 8
     if M % tm != 0 or M < 8:
         pad = -M % tm if M >= 8 else 8 - M
         x_q = jnp.pad(x_q, ((0, pad), (0, 0)))
-    ti = min(tile_i, I)
-    tn = min(tile_n, N)
-    assert I % ti == 0 and N % tn == 0, (I, ti, N, tn)
 
     a_gu = prep["a_gu"]
     rank_gu = 0 if a_gu is None else a_gu.shape[1]
@@ -386,8 +396,8 @@ def mlp_w4_fused(
     has_bias = prep["bias_g"] is not None
 
     out = _mlp_call(
-        x_q, prep["pg"], prep["eg"], prep["pu"], prep["eu"],
-        prep["pd"], prep["ed"], a_gu, prep["b_g"], prep["b_u"],
+        x_q, prep["tg"], prep["tu"], prep["td"],
+        a_gu, prep["b_g"], prep["b_u"],
         a_d, prep["b_d"], prep["bias_g"], prep["bias_u"], prep["bias_d"],
         mb=fmt.mantissa_bits, group=fmt.group_size, gated=prep["gated"],
         act_width=act_width, tile_m=tm, tile_i=ti, tile_n=tn,

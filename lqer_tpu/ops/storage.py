@@ -120,6 +120,42 @@ def pack_int4_ksplit(codes: jnp.ndarray, tile_k: int = 256) -> jnp.ndarray:
     return packed.astype(jnp.uint8).view(jnp.int8).reshape(K // 2, N)
 
 
+def pack_w4_tiles(
+    codes: jnp.ndarray,
+    exps: jnp.ndarray,
+    tile_k: int,
+    tile_n: int,
+    group: int = 16,
+) -> jnp.ndarray:
+    """Tile-major co-packed serving layout (the round-3 fetch fix).
+
+    ``codes (K, N)`` int4-valued int8 + ``exps (K/group, N)`` int8 →
+    ``tiles (K/tile_k, N/tile_n, S, tile_n)`` int8 where each (k, n) slab is
+    ONE contiguous HBM region holding the K-split nibble-packed codes
+    (``tile_k/2`` rows) followed by the shared exponents (``tile_k/group``
+    rows), padded to a multiple of 32 rows (the int8 sublane tile).
+
+    Why: the previous 2D ``(K/2, N)`` layout made every kernel tile fetch
+    ``tile_k/2`` separate ``tile_n``-byte strided rows plus a second tiny
+    strided stream for the exponents; tile-major storage turns each grid
+    step's weight traffic into a single ~0.5 MB contiguous DMA.
+    """
+    K, N = codes.shape
+    assert K % tile_k == 0 and N % tile_n == 0, (K, N, tile_k, tile_n)
+    nk, nn = K // tile_k, N // tile_n
+    half = tile_k // 2
+    ge = tile_k // group
+    packed = pack_int4_ksplit(codes, tile_k)  # (K/2, N), tile-local K-split
+    p_t = packed.reshape(nk, half, nn, tile_n).transpose(0, 2, 1, 3)
+    e_t = exps.reshape(nk, ge, nn, tile_n).transpose(0, 2, 1, 3)
+    s = half + ge
+    s_pad = -s % 32
+    tiles = jnp.concatenate([p_t, e_t], axis=2)
+    if s_pad:
+        tiles = jnp.pad(tiles, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
+    return tiles
+
+
 def unpack_int4_ksplit(packed: jnp.ndarray, tile_k: int = 256) -> jnp.ndarray:
     """Inverse of :func:`pack_int4_ksplit` (reference implementation for
     tests; the Pallas kernel does this per-tile in VMEM)."""

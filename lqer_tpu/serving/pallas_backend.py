@@ -318,13 +318,13 @@ def prepare_serving_params(
     def pack_one(key, w, a, b, bias, xa_width, out_width, splits=None):
         tk = _pick_tile_k(w.shape[1], tile_k)
         prep = prepare_w4_weights(w, a=a, b=b, bias=bias, fmt=MXINT4,
-                                  tile_k=tk)
+                                  tile_k=tk, tile_n=_pick_tile_n(w.shape[0]))
         # split traced arrays from static metadata so the whole backend
         # can be passed as a jit argument (tile sizes must stay static)
-        arrays[key] = {k: prep[k] for k in ("packed", "exps", "a", "b", "bias")}
+        arrays[key] = {k: prep[k] for k in ("tiles", "a", "b", "bias")}
         meta[key] = {
             "tile_k": tk,
-            "tile_n": _pick_tile_n(w.shape[0]),
+            "tile_n": prep["tile_n"],
             "fmt": MXINT4,
             "xa_width": xa_width,
             "out_width": out_width,
@@ -424,15 +424,15 @@ def _pack_mlp(lp, cfg, params, layer_qcfg, tile_k, arrays, meta,
         bias_up=qbias(up_rel, qc_up) if up_rel else None,
         bias_down=qbias(down_rel, qc_down),
         fmt=MXINT4, tile_k=tk, tile_k2=tk2,
+        tile_i=_pick_tile_n(params[f"{lp}.{gate_rel}.weight"].shape[0]),
+        tile_n=_pick_tile_n(params[f"{lp}.{down_rel}.weight"].shape[0]),
     )
     key = f"{lp}.mlp_fused"
-    static = {"gated", "fmt", "tile_k", "tile_k2"}
+    static = {"gated", "fmt", "tile_k", "tile_k2", "tile_i", "tile_n"}
     arrays[key] = {k: v for k, v in prep.items() if k not in static}
     meta[key] = {
         **{k: prep[k] for k in static},
         "kind": "mlp",
-        "tile_i": _pick_tile_n(prep["pg"].shape[1]),
-        "tile_n": _pick_tile_n(prep["pd"].shape[1]),
         "act_width": int(qc_down.x_cfg["width"]),
         "xa_width": xa_width,
         "out_width": out_width,

@@ -81,7 +81,7 @@ def test_mlp_fused_matches_emulation(gated, rank, bias):
     prep = prepare_mlp_weights(
         wg, wu, wd, a_gate=a_g, b_gate=b_g, a_up=a_u, b_up=b_u,
         a_down=a_d, b_down=b_d, bias_gate=bias_g, bias_up=bias_u,
-        bias_down=bias_d,
+        bias_down=bias_d, tile_i=128, tile_n=128,
     )
     out = mlp_w4_fused(x_q, prep, tile_i=128, tile_n=128, interpret=True)
     ref = _emulate(x_q, wg, wu, wd, (a_g, b_g, a_u, b_u, a_d, b_d),
@@ -98,7 +98,7 @@ def test_mlp_fused_multiple_m_tiles():
     wg = jnp.asarray(rng.standard_normal((I, K)) * 0.1, jnp.float32)
     wu = jnp.asarray(rng.standard_normal((I, K)) * 0.1, jnp.float32)
     wd = jnp.asarray(rng.standard_normal((N, I)) * 0.1, jnp.float32)
-    prep = prepare_mlp_weights(wg, wu, wd)
+    prep = prepare_mlp_weights(wg, wu, wd, tile_i=128, tile_n=128)
     x_q = _xq(jax.random.PRNGKey(9), M, K)
     big = mlp_w4_fused(x_q, prep, tile_m=128, tile_i=128, tile_n=128,
                        interpret=True)

@@ -87,7 +87,7 @@ class TestFusedKernel:
         b = (jax.random.normal(k4, (rank, N)) * 0.01) if rank else None
         bias = jax.random.normal(k5, (N,)) * 0.1 if has_bias else None
 
-        prep = prepare_w4_weights(w, a, b, bias, tile_k=256)
+        prep = prepare_w4_weights(w, a, b, bias, tile_k=256, tile_n=128)
         out = qlinear_w4_fused(
             x_q, prep, tile_m=16, tile_n=128, interpret=True
         )

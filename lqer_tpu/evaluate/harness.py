@@ -20,12 +20,9 @@ try:
     from lm_eval.api.model import LM
 
     HAS_LM_EVAL = True
-except ImportError as _e:  # pragma: no cover - env without lm_eval
+except ImportError:  # env without lm_eval: vendored protocol-parity harness
     HAS_LM_EVAL = False
-    _IMPORT_ERROR = _e
-
-    class LM:  # type: ignore
-        pass
+    from .minieval import LM  # same Instance/LM protocol (see minieval docs)
 
 
 class JaxCausalLM(LM):
@@ -206,11 +203,20 @@ def evaluate_harness_downstream(
 
     ``engine``: optional `serving.DecodeEngine` for generation tasks —
     `generate_until` then decodes incrementally through the KV cache instead
-    of a full re-forward per token."""
-    if not HAS_LM_EVAL:
-        raise ImportError(f"lm_eval is not installed: {_IMPORT_ERROR}")
+    of a full re-forward per token.
+
+    When lm_eval is not installed, dispatches to the vendored
+    :mod:`.minieval` (same Instance protocol, bundled ``tiny_*`` tasks) so
+    the stage still executes end-to-end; real benchmark names then require
+    installing lm_eval."""
     model = JaxCausalLM(forward_fn, tokenizer, max_length=max_length,
                         batch_size=batch_size or 1, engine=engine)
-    return lm_eval.simple_evaluate(
+    if HAS_LM_EVAL:
+        return lm_eval.simple_evaluate(
+            model=model, tasks=tasks, num_fewshot=num_fewshot
+        )
+    from . import minieval
+
+    return minieval.simple_evaluate(
         model=model, tasks=tasks, num_fewshot=num_fewshot
     )

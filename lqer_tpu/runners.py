@@ -318,18 +318,32 @@ def run_evaluate_harness_downstream(config: dict, project_path: Path) -> dict:
 
     The reference pins a forked lm-eval submodule; we adapt our JAX model to
     the upstream `lm_eval.api.model.LM` interface instead
-    (:mod:`lqer_tpu.evaluate.harness`). Skips with a warning when lm_eval is
-    not installed (it is not vendored in this environment).
+    (:mod:`lqer_tpu.evaluate.harness`). Without lm_eval installed, the
+    vendored :mod:`lqer_tpu.evaluate.minieval` executes the same protocol on
+    bundled ``tiny_*`` tasks; real benchmark task names are skipped with a
+    warning in that case (their published numbers need real lm_eval).
     """
     eval_config = config["evaluate"]
     eval_hd_config = eval_config["harness_downstream"]
     dtype = _get_dtype(eval_config.get("dtype"), "float32")
 
-    try:
-        from .evaluate.harness import evaluate_harness_downstream
-    except ImportError as e:
-        logger.warning("lm_eval unavailable (%s); skipping downstream eval", e)
-        return config
+    from .evaluate.harness import HAS_LM_EVAL, evaluate_harness_downstream
+
+    tasks = list(eval_hd_config["datasets"])
+    if not HAS_LM_EVAL:
+        from .evaluate.minieval import TASK_REGISTRY
+
+        known = [t for t in tasks if t in TASK_REGISTRY]
+        if len(known) != len(tasks):
+            logger.warning(
+                "lm_eval not installed: skipping real benchmark tasks %s "
+                "(minieval runs bundled tiny_* fixtures only)",
+                [t for t in tasks if t not in TASK_REGISTRY],
+            )
+        tasks = known
+        if not tasks:
+            logger.warning("no runnable harness tasks; skipping stage")
+            return config
 
     cfg, params, qcfgs, fwd = _build_quantized_forward(
         config, eval_config.get("disable_lqer", False), dtype
@@ -350,7 +364,7 @@ def run_evaluate_harness_downstream(config: dict, project_path: Path) -> dict:
     results = evaluate_harness_downstream(
         fwd,
         tokenizer,
-        tasks=eval_hd_config["datasets"],
+        tasks=tasks,
         num_fewshot=eval_hd_config.get("num_fewshot", 0),
         batch_size=eval_hd_config.get("batch_size", None),
         max_length=eval_hd_config.get("max_length", 2048),

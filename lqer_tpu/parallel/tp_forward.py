@@ -15,9 +15,11 @@ with ``quantized_collectives=False`` the step is the exact TP computation
 (plain psum); with ``True`` each reduction hop adds one MXINT8 quantization
 of the partial sums — the documented wire-precision trade-off.
 
-Scope: Llama/Mistral decoders (the flagship serving family). Requires
-``num_attention_heads % tp == 0``, ``kv_heads % tp == 0``, and the usual
-feature-dim divisibility; `make_tp_forward` raises otherwise.
+Scope: Llama/Mistral decoders (the flagship serving family) and OPT
+(pre/post-LN, learned positions, query pre-scale, ReLU MLP — the reference's
+`opt_decoder.py` semantics). Requires ``num_attention_heads % tp == 0``,
+``kv_heads % tp == 0``, and the usual feature-dim divisibility;
+`make_tp_forward` raises otherwise (OPT-350m's project_in/out is not TP'd).
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from ..models.common import (
     apply_rotary,
     causal_mask,
     eager_attention,
+    layer_norm,
     merge_heads,
     rms_norm,
     rotary_tables,
@@ -71,15 +74,22 @@ def make_tp_forward(
     ``params`` must be sharded by `shard_params` (or at least globally shaped
     — shard_map will split per `sharding.py`'s specs).
     """
-    if cfg.arch not in ("llama", "mistral"):
-        raise NotImplementedError("tp_forward covers the Llama family")
+    is_opt = getattr(cfg, "arch", None) == "opt"
+    if not is_opt and cfg.arch not in ("llama", "mistral"):
+        raise NotImplementedError(f"tp_forward does not cover arch {cfg.arch}")
+    if is_opt and cfg.embed_dim != cfg.hidden_size:
+        raise NotImplementedError(
+            "OPT-350m project_in/out is not tensor-parallelized"
+        )
     tp = mesh.shape["tp"]
-    heads, kv = cfg.num_attention_heads, cfg.kv_heads
+    heads = cfg.num_attention_heads
+    kv = heads if is_opt else cfg.kv_heads
+    inter = cfg.ffn_dim if is_opt else cfg.intermediate_size
     if heads % tp or kv % tp or cfg.hidden_size % (tp * 16) or \
-            cfg.intermediate_size % (tp * 16) or cfg.vocab_size % tp:
+            inter % (tp * 16) or cfg.vocab_size % tp:
         raise ValueError(
             f"model dims not divisible for tp={tp}: heads={heads} kv={kv} "
-            f"hidden={cfg.hidden_size} inter={cfg.intermediate_size} "
+            f"hidden={cfg.hidden_size} inter={inter} "
             f"vocab={cfg.vocab_size}"
         )
     heads_l, kv_l = heads // tp, kv // tp
@@ -87,9 +97,11 @@ def make_tp_forward(
     vocab_l = cfg.vocab_size // tp
 
     def q(i):
-        from ..models.fp_config import FP_LAYER_LLAMA
+        from ..models.fp_config import FP_LAYER_LLAMA, FP_LAYER_OPT
 
-        return layer_qcfgs[i] if layer_qcfgs is not None else FP_LAYER_LLAMA
+        if layer_qcfgs is not None:
+            return layer_qcfgs[i]
+        return FP_LAYER_OPT if is_opt else FP_LAYER_LLAMA
 
     def col_linear(x, w, b, a, bb, qc):
         """Column-parallel: x replicated, w (out/tp, in) local; returns the
@@ -129,12 +141,7 @@ def make_tp_forward(
         b, s = input_ids.shape
         # vocab-sharded embedding lookup: masked local take + psum
         embed_l = params["model.embed_tokens.weight"]  # (V/tp, h)
-        offset = jax.lax.axis_index("tp") * vocab_l
-        local_ids = jnp.clip(input_ids - offset, 0, vocab_l - 1)
-        h = jnp.take(embed_l, local_ids, axis=0)
-        in_shard = ((input_ids >= offset) & (input_ids < offset + vocab_l))
-        h = jnp.where(in_shard[..., None], h, 0.0)
-        h = jax.lax.psum(h, "tp")
+        h = _sharded_embed_lookup(embed_l, input_ids)
 
         cos, sin = rotary_tables(
             cfg.head_dim, max(s, cfg.max_position_embeddings), cfg.rope_theta)
@@ -188,17 +195,100 @@ def make_tp_forward(
         logits_l = jnp.matmul(h, lm_head.T)  # (b, s, V/tp)
         return jax.lax.all_gather(logits_l, "tp", axis=2, tiled=True)
 
+    def _sharded_embed_lookup(embed_l, input_ids):
+        """Vocab-sharded embedding: masked local take + psum."""
+        offset = jax.lax.axis_index("tp") * vocab_l
+        local_ids = jnp.clip(input_ids - offset, 0, vocab_l - 1)
+        h = jnp.take(embed_l, local_ids, axis=0)
+        in_shard = ((input_ids >= offset) & (input_ids < offset + vocab_l))
+        h = jnp.where(in_shard[..., None], h, 0.0)
+        return jax.lax.psum(h, "tp")
+
+    def body_opt(params, input_ids):
+        """OPT decoder under TP (`/root/reference/src/lqer/models/
+        opt_decoder.py:212-322` semantics: learned positions offset 2, query
+        pre-scale, pre/post-LN, ReLU MLP, biases on every linear)."""
+        def mod(prefix):
+            return (params.get(prefix + ".weight"),
+                    params.get(prefix + ".bias"),
+                    params.get(prefix + ".A"),
+                    params.get(prefix + ".B"))
+
+        b, s = input_ids.shape
+        embed_l = params["model.decoder.embed_tokens.weight"]  # (V/tp, h)
+        h = _sharded_embed_lookup(embed_l, input_ids)
+        positions = jnp.arange(s) + 2  # OPTLearnedPositionalEmbedding offset
+        h = h + jnp.take(params["model.decoder.embed_positions.weight"],
+                         positions, axis=0)
+        mask = causal_mask(s, dtype=h.dtype)
+
+        for i in range(cfg.num_hidden_layers):
+            p = f"model.decoder.layers.{i}"
+            lq = q(i)
+            attn_cfg = lq["attn"]
+
+            residual = h
+            if cfg.do_layer_norm_before:
+                h = layer_norm(
+                    h, {"weight": params[f"{p}.self_attn_layer_norm.weight"],
+                        "bias": params[f"{p}.self_attn_layer_norm.bias"]})
+
+            def heads_of(y, n):
+                return y.reshape(b, s, n, -1).transpose(0, 2, 1, 3)
+
+            qh = heads_of(col_linear(h, *mod(f"{p}.self_attn.q_proj"),
+                                     attn_cfg.q_proj), heads_l)
+            kh = heads_of(col_linear(h, *mod(f"{p}.self_attn.k_proj"),
+                                     attn_cfg.k_proj), heads_l)
+            vh = heads_of(col_linear(h, *mod(f"{p}.self_attn.v_proj"),
+                                     attn_cfg.v_proj), heads_l)
+            attn = eager_attention(
+                qh, kh, vh, mask, attn_cfg.qk_matmul, attn_cfg.pv_matmul,
+                scaling=cfg.head_dim ** -0.5, scale_query=True,
+            )
+            attn = row_linear(merge_heads(attn),
+                              *mod(f"{p}.self_attn.out_proj"),
+                              attn_cfg.o_proj)
+            h = residual + attn
+            if not cfg.do_layer_norm_before:
+                h = layer_norm(
+                    h, {"weight": params[f"{p}.self_attn_layer_norm.weight"],
+                        "bias": params[f"{p}.self_attn_layer_norm.bias"]})
+
+            residual = h
+            if cfg.do_layer_norm_before:
+                h = layer_norm(
+                    h, {"weight": params[f"{p}.final_layer_norm.weight"],
+                        "bias": params[f"{p}.final_layer_norm.bias"]})
+            y = col_linear(h, *mod(f"{p}.fc1"), lq["fc1"])
+            y = jax.nn.relu(y)
+            h = residual + row_linear(y, *mod(f"{p}.fc2"), lq["fc2"])
+            if not cfg.do_layer_norm_before:
+                h = layer_norm(
+                    h, {"weight": params[f"{p}.final_layer_norm.weight"],
+                        "bias": params[f"{p}.final_layer_norm.bias"]})
+
+        if params.get("model.decoder.final_layer_norm.weight") is not None:
+            h = layer_norm(
+                h, {"weight": params["model.decoder.final_layer_norm.weight"],
+                    "bias": params["model.decoder.final_layer_norm.bias"]})
+        lm_head = params.get("lm_head.weight", embed_l)
+        logits_l = jnp.matmul(h, lm_head.T)  # (b, s, V/tp)
+        return jax.lax.all_gather(logits_l, "tp", axis=2, tiled=True)
+
     def param_specs(params):
         return {
             name: _clip_spec(spec_for_param(name), jnp.ndim(arr))
             for name, arr in params.items()
         }
 
+    body_fn = body_opt if is_opt else body
+
     @functools.partial(jax.jit, static_argnames=())
     def fwd(params, input_ids):
         specs = param_specs(params)
         return shard_map(
-            body, mesh=mesh,
+            body_fn, mesh=mesh,
             in_specs=(specs, P("dp", None)),
             out_specs=P("dp", None, None),
             check_vma=False,

@@ -18,6 +18,9 @@ Variants of the W4 dequant pipeline inside the kernel:
   twodot_bf16mul — twodot with f32 convert but bf16 scale-multiply
   stream      — fetch-only lower bound (reduce the packed tile, no dequant)
   i8shift     — int8-native nibble shifts (no int32 expansion)
+  bittrick    — int8 shifts + biased-exponent-bitcast bf16 scale + direct
+                bf16 codes-cast and multiply (minimal VPU op count)
+  bt_i32      — bittrick with int32-domain nibble extraction
   ab_convonly / ab_noscale / ab_noshift — ablations dropping one dequant
                 stage at a time (scale-mul / shift) to price each stage
   wide        — full-N contiguous slab tiles (tile_n = N)
@@ -65,6 +68,42 @@ def _kernel(x_ref, p_ref, e_ref, o_ref, acc, *, variant, group, mb):
         m_rows = acc.shape[0]
         acc[:] += (p_ref[:m_rows, :acc.shape[1]].astype(jnp.float32)
                    + e_ref[:1, :acc.shape[1]].astype(jnp.float32))
+
+        @pl.when(k == nk - 1)
+        def _():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+        return
+    if variant in ("bittrick", "bt_i32", "bt_f32acc"):
+        # Minimal-VPU dequant: nibble extraction in the int8 domain (bt_i32:
+        # via int32 for comparison), scale built by writing the biased
+        # exponent straight into the bf16 exponent field (integer add +
+        # shift + bitcast — no exp2 transcendental, no f32 multiply), codes
+        # cast DIRECTLY to bf16 and multiplied by the bf16 power-of-two
+        # scale (exact: 3-bit mantissas x powers of two).
+        if variant == "bt_i32":
+            p = p_ref[:].astype(jnp.int32)
+            low = ((p << 28) >> 28).astype(jnp.int8)
+            high = ((p << 24) >> 28).astype(jnp.int8)
+        else:
+            p8 = p_ref[:]
+            low = (p8 << 4) >> 4
+            high = p8 >> 4
+        eb = (e_ref[:].astype(jnp.int16) + (127 - mb)) << 7
+        scale = jax.lax.bitcast_convert_type(eb, jnp.bfloat16)
+        tk2, tn = low.shape
+        hg = tk2 // group
+        x = x_ref[:]
+
+        def scaled(codes, s):
+            c = codes.astype(jnp.bfloat16)
+            return (c.reshape(hg, group, tn) * s[:, None, :]
+                    ).reshape(tk2, tn)
+
+        acc[:] += jnp.dot(x[:, :tk2], scaled(low, scale[:hg]),
+                          preferred_element_type=jnp.float32)
+        acc[:] += jnp.dot(x[:, tk2:], scaled(high, scale[hg:]),
+                          preferred_element_type=jnp.float32)
 
         @pl.when(k == nk - 1)
         def _():
@@ -491,15 +530,20 @@ def marginal(fn, x0, iters=64, warmup=2):
     """Average per-iteration time of one long chained run — a conservative
     upper bound (relay chain latency amortized to <1ms/iter; contention only
     inflates). min over repeats = least-contended sample. See bench.py
-    _bench for why the short-vs-long marginal estimator was rejected."""
+    _bench for why the short-vs-long marginal estimator was rejected.
+
+    Drained with ``jax.device_get`` (a VALUE fetch): on this environment's
+    remote relay ``block_until_ready`` returns before device execution
+    completes (bench.py measured 185 MB "streamed" in 0.09 ms with it), so
+    only fetching bytes that depend on the whole chain gives a true time."""
     x = x0
     for _ in range(warmup):
         x = fn(x)
-    jax.block_until_ready(x)
+    jax.device_get(x)
     t0 = time.perf_counter()
     for _ in range(iters):
         x = fn(x)
-    jax.block_until_ready(x)
+    jax.device_get(x)
     return (time.perf_counter() - t0) / iters
 
 

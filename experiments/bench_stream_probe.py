@@ -126,14 +126,17 @@ def make_stream_step(rows, cols, tile_r, tile_c, dtype, buffers,
 
 
 def chain_time(fn, x0, iters=64, warmup=2):
+    """Drained with a VALUE fetch (`jax.device_get`): on this environment's
+    remote relay `block_until_ready` returns before device execution
+    completes (see bench.py _bench), under-measuring stream time."""
     x = x0
     for _ in range(warmup):
         x = fn(x)
-    jax.block_until_ready(x)
+    jax.device_get(x)
     t0 = time.perf_counter()
     for _ in range(iters):
         x = fn(x)
-    jax.block_until_ready(x)
+    jax.device_get(x)
     return (time.perf_counter() - t0) / iters
 
 

@@ -49,6 +49,28 @@ def _bucket(n: int, minimum: int = 16) -> int:
     return b
 
 
+def _shard_cache(cache: dict, mesh, num_slots: int) -> dict:
+    """Annotate the KV cache for dp×tp serving: arrays are
+    ``(L, slots, kv_heads, max_len, ...)`` — slots shard over dp, kv heads
+    over tp (matching the col-parallel k/v projections in
+    `parallel/sharding.py`). Indivisible axes stay replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+
+    def put(arr):
+        spec = [None] * arr.ndim
+        if arr.ndim >= 3:
+            if num_slots % dp == 0:
+                spec[1] = "dp"
+            if arr.shape[2] % tp == 0:
+                spec[2] = "tp"
+        return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+
+    return {k: put(v) for k, v in cache.items()}
+
+
 class DecodeEngine:
     """Single-host continuous batching over one jitted decode step."""
 
@@ -63,6 +85,7 @@ class DecodeEngine:
         rng_seed: int = 0,
         pallas_backend: dict | None = None,
         scan_layers: bool = False,
+        mesh=None,
     ):
         """``pallas_backend``: packed kernel operands from
         `serving.pallas_backend.prepare_serving_params` — routes every linear
@@ -70,13 +93,20 @@ class DecodeEngine:
 
         ``scan_layers``: lax.scan layer loop (Llama/Mistral with a uniform
         per-layer config) — decoder compile time becomes depth-independent,
-        which matters at 32-80 layers through a slow compiler path."""
+        which matters at 32-80 layers through a slow compiler path.
+
+        ``mesh``: optional `jax.sharding.Mesh` with dp/tp axes — shards the
+        KV cache's slot axis over dp and kv-head axis over tp (params should
+        already be sharded with `parallel.shard_params`); GSPMD then runs
+        the decode step fully distributed (dp × tp serving)."""
         self.params = params
         self.cfg = cfg
         self.qcfgs = layer_qcfgs
         self.num_slots = num_slots
         self.max_len = max_len
         self.cache = make_cache(cfg, num_slots, max_len, cache_dtype)
+        if mesh is not None:
+            self.cache = _shard_cache(self.cache, mesh, num_slots)
         self.lengths = np.zeros(num_slots, dtype=np.int32)  # tokens in cache
         self.slot_req: list[Request | None] = [None] * num_slots
         self.key = jax.random.PRNGKey(rng_seed)

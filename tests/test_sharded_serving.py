@@ -68,3 +68,13 @@ def test_sharded_engine_matches_single_device():
     got = run(sharded)
 
     assert got == ref, (got, ref)
+
+    # dp×tp: KV cache slot axis sharded over dp, heads over tp (the
+    # dryrun_multichip serving configuration) — same tokens again
+    mesh8 = make_mesh(n_devices=8, tp=4)
+    sharded8 = shard_params(params, mesh8)
+    engine = DecodeEngine(sharded8, cfg, qcfgs, num_slots=2, max_len=64,
+                          cache_dtype=jnp.float32, mesh=mesh8)
+    reqs = [Request(prompt_ids=p, **reqs_args) for p in prompts]
+    engine.run(reqs)
+    assert [r.output_ids for r in reqs] == ref

@@ -9,8 +9,10 @@ no TPU runtime, so the 4-bit AWQ/GPTQ checkpoint formats are instead
 dequantized to fp (`lqer_tpu/models/quant_checkpoints.py` — weights-only
 quantization means the dequantized model computes the numbers those kernels
 represent) and evaluated through our standard forward. LLM.int8()/int4 are
-bitsandbytes runtime formats with no checkpoint artifact to decode — for
-their rows, evaluate the source fp checkpoint with the reference's table.
+bitsandbytes runtime formats with no checkpoint artifact to decode; their
+rows are produced by an honest software emulation of the bitsandbytes math
+(vector-wise absmax int8/int4 + fp outlier-column decomposition at the
+profiler's threshold — `lqer_tpu/ops/llm_int8.py`) over the fp checkpoint.
 
 Usage:
     python experiments/baselines.py <config.toml> --method fp32
@@ -41,6 +43,25 @@ logger = get_logger("baselines")
 
 METHOD_DTYPES = {"fp32": "float32", "bf16": "bfloat16", "fp16": "float16"}
 QUANT_METHODS = ("awq", "gptq")
+# runtime bitsandbytes formats, emulated honestly (ops/llm_int8.py): fp
+# checkpoint + dynamic outlier-decomposition int8/int4 linears — closes the
+# reference's baseline.py:93-109 load_in_8bit/load_in_4bit dispatch
+INT_METHODS = ("llm_int8", "llm_int4")
+
+
+def build_llm_int_qcfgs(cfg, method: str, threshold: float):
+    """Per-layer configs routing every decoder linear through the emulated
+    bitsandbytes linear; attention matmuls stay fp (bitsandbytes quantizes
+    nn.Linear only)."""
+    pq = {"name": "flexible",
+          "x_quantizer": {"name": "passthrough"},
+          "w_quantizer": {"name": "passthrough"}}
+    q_config = {
+        "linear": {"name": method, "threshold": threshold},
+        "matmul": pq,
+        "bmm": pq,
+    }
+    return models.quantize_model(cfg, q_config, None)
 
 
 def build_dequantized_params(config, cfg, method: str, model_dir, dtype,
@@ -72,7 +93,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", type=str)
     ap.add_argument("--method", default="fp32",
-                    choices=sorted(METHOD_DTYPES) + list(QUANT_METHODS))
+                    choices=(sorted(METHOD_DTYPES) + list(QUANT_METHODS)
+                             + list(INT_METHODS)))
+    ap.add_argument("--int8-threshold", type=float, default=6.0,
+                    help="LLM.int8() outlier threshold (bitsandbytes "
+                         "default 6.0)")
     ap.add_argument("--model-dir", type=str, default=None,
                     help="local checkpoint dir (required for awq/gptq)")
     ap.add_argument("--gptq-no-zero-offset", action="store_true",
@@ -84,6 +109,7 @@ def main():
     config = load_config(args.config)
     dtype = _get_dtype(METHOD_DTYPES.get(args.method, "float32"))
     cfg = build_model_config(config)
+    qcfgs = None
     if args.method in QUANT_METHODS:
         params = build_dequantized_params(
             config, cfg, args.method, args.model_dir, dtype,
@@ -91,11 +117,13 @@ def main():
         )
     else:
         params = build_params(config, cfg, dtype)
+        if args.method in INT_METHODS:
+            qcfgs = build_llm_int_qcfgs(cfg, args.method, args.int8_threshold)
 
     eval_ppl_config = config["evaluate"]["perplexity"]
     test = _get_split(eval_ppl_config, config, "test")
 
-    fwd = jax.jit(lambda ids: models.forward(params, ids, cfg, None))
+    fwd = jax.jit(lambda ids: models.forward(params, ids, cfg, qcfgs))
     results = evaluate_perplexity(
         fwd,
         test,

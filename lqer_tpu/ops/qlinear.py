@@ -46,6 +46,12 @@ class QLinearConfig:
     is_ptq: bool = True
     is_lqer: bool = False
     rank: int = 0
+    # "flexible" (reference LinearFlexible semantics) or "llm_int8" (emulated
+    # bitsandbytes outlier-decomposition linear — see ops/llm_int8.py);
+    # llm_int8 is dynamic per-forward, so is_ptq is forced False for it
+    mode: str = "flexible"
+    int_bits: int = 8
+    int_threshold: float = 6.0
     # raw resolved config dicts (not hashed/compared — the callables above
     # are memoized per config, so identity compare covers equality); kept so
     # the serving backend can check kernel-eligibility of a format
@@ -56,6 +62,16 @@ class QLinearConfig:
 
     @staticmethod
     def from_q_config(q_config: dict, l_config: dict | None = None) -> "QLinearConfig":
+        if q_config.get("name") in ("llm_int8", "llm_int4"):
+            bits = 4 if q_config["name"].endswith("4") else \
+                int(q_config.get("width", 8))
+            return QLinearConfig(
+                mode="llm_int8",
+                int_bits=bits,
+                int_threshold=float(q_config.get("threshold", 6.0)),
+                is_ptq=False,
+            )
+
         def cfg(key, fallback_keys=()):
             c = q_config.get(key)
             for fk in fallback_keys:
@@ -120,6 +136,13 @@ def qlinear(
     call (`linear.py:158-166` — the QAT/training path, differentiable via the
     quantizers' STE custom_vjp).
     """
+    if cfg.mode == "llm_int8":
+        from .llm_int8 import llm_int_linear
+
+        return llm_int_linear(
+            x, params["weight"], params.get("bias"),
+            bits=cfg.int_bits, threshold=cfg.int_threshold,
+        )
     if weights_prepared is None:
         weights_prepared = cfg.is_ptq
     w = params["weight"]

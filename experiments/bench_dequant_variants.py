@@ -18,9 +18,10 @@ Variants of the W4 dequant pipeline inside the kernel:
   twodot_bf16mul — twodot with f32 convert but bf16 scale-multiply
   stream      — fetch-only lower bound (reduce the packed tile, no dequant)
   i8shift     — int8-native nibble shifts (no int32 expansion)
-  bittrick    — int8 shifts + biased-exponent-bitcast bf16 scale + direct
-                bf16 codes-cast and multiply (minimal VPU op count)
-  bt_i32      — bittrick with int32-domain nibble extraction
+  bittrick    — biased-exponent-bitcast bf16 scale + direct bf16 codes-cast
+                and multiply (minimal VPU op count; int32 nibble extraction
+                — Mosaic only lowers vector shifts on i32)
+  bt_i32      — alias of bittrick (kept for sweep-script compat)
   ab_convonly / ab_noscale / ab_noshift — ablations dropping one dequant
                 stage at a time (scale-mul / shift) to price each stage
   wide        — full-N contiguous slab tiles (tile_n = N)
@@ -75,21 +76,21 @@ def _kernel(x_ref, p_ref, e_ref, o_ref, acc, *, variant, group, mb):
 
         return
     if variant in ("bittrick", "bt_i32", "bt_f32acc"):
-        # Minimal-VPU dequant: nibble extraction in the int8 domain (bt_i32:
-        # via int32 for comparison), scale built by writing the biased
-        # exponent straight into the bf16 exponent field (integer add +
-        # shift + bitcast — no exp2 transcendental, no f32 multiply), codes
-        # cast DIRECTLY to bf16 and multiplied by the bf16 power-of-two
-        # scale (exact: 3-bit mantissas x powers of two).
-        if variant == "bt_i32":
-            p = p_ref[:].astype(jnp.int32)
-            low = ((p << 28) >> 28).astype(jnp.int8)
-            high = ((p << 24) >> 28).astype(jnp.int8)
-        else:
-            p8 = p_ref[:]
-            low = (p8 << 4) >> 4
-            high = p8 >> 4
-        eb = (e_ref[:].astype(jnp.int16) + (127 - mb)) << 7
+        # Minimal-VPU dequant: scale built by writing the biased exponent
+        # straight into the bf16 exponent field (integer add + *128 +
+        # bitcast — no exp2 transcendental, no f32 multiply), codes cast
+        # DIRECTLY to bf16 and multiplied by the bf16 power-of-two scale
+        # (exact: 3-bit mantissas x powers of two).
+        # Mosaic only lowers vector shifts on int32 (i8/i16 arith.shli fails
+        # to legalize — measured), so extraction is int32-domain and the
+        # static <<7 becomes a *128 multiply narrowed to int16 for bitcast.
+        p = p_ref[:].astype(jnp.int32)
+        low = (p << 28) >> 28
+        high = (p << 24) >> 28
+        if variant == "bt_f32acc":
+            low, high = low.astype(jnp.int8), high.astype(jnp.int8)
+        eb = ((e_ref[:].astype(jnp.int32) + (127 - mb)) * 128
+              ).astype(jnp.int16)
         scale = jax.lax.bitcast_convert_type(eb, jnp.bfloat16)
         tk2, tn = low.shape
         hg = tk2 // group

@@ -24,12 +24,27 @@ _TEXT_JOINERS = {"wikitext2": "\n\n", "slim_pajama_6b": "\n\n"}
 
 
 def _chunk_concatenated(
-    texts, tokenizer, max_length: int, joiner: str = "\n\n"
+    texts, tokenizer, max_length: int, joiner: str = "\n\n",
+    batch_size: int = 1000,
 ) -> np.ndarray:
     """GPTQ-style preprocessing (`wikitext2.py:18-52`): one long token stream
-    chopped into (n, max_length)."""
-    joined = joiner.join(texts)
-    ids = tokenizer(joined, return_tensors="np").input_ids[0]
+    chopped into (n, max_length).
+
+    Byte-parity detail: the reference tokenizes through
+    ``datasets.map(batched=True)`` (default batch_size 1000), so texts are
+    joined with ``joiner`` *within* each 1000-row batch and consecutive
+    batches concatenate with NO joiner between them
+    (`wikitext2.py:19-27`) — pinned by
+    `tests/test_data_parity.py::test_chunks_match_reference_group_texts`."""
+    texts = list(texts)
+    ids_parts = [
+        np.asarray(
+            tokenizer(joiner.join(texts[i:i + batch_size]),
+                      return_tensors="np").input_ids[0]
+        )
+        for i in range(0, len(texts), batch_size)
+    ]
+    ids = np.concatenate(ids_parts) if ids_parts else np.zeros(0, np.int64)
     n = len(ids) // max_length
     return ids[: n * max_length].reshape(n, max_length).astype(np.int32)
 

@@ -486,6 +486,206 @@ def make_intdot_step(L, M, N, K, tile_n, tile_k, group=16, mb=3, xmb=7):
     return step
 
 
+def _copacked_kernel(x_ref, t_ref, o_ref, acc, *, variant, group, mb,
+                     tile_k):
+    """Variants over the PRODUCTION tile-major co-packed storage
+    (`storage.pack_w4_tiles`): one contiguous slab per (k, n) grid step.
+      cstream   — fetch-only
+      ctwodot   — production `_dot_w4` math (int32 shifts, exp2+f32 scale)
+      cbittrick — biased-exponent bitcast + direct bf16 multiply
+    """
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    tk2 = tile_k // 2
+    ge = tile_k // group
+    if variant == "cstream":
+        m_rows, n_cols = acc.shape
+        v = pltpu.bitcast(t_ref[:, :], jnp.int32)
+        acc[:] += jnp.max(v).astype(jnp.float32)
+
+        @pl.when(k == nk - 1)
+        def _():
+            o_ref[:] = acc[:].astype(o_ref.dtype)
+
+        return
+    x = x_ref[:]
+    p = t_ref[0:tk2, :].astype(jnp.int32)
+    e = t_ref[tk2:tk2 + ge, :]
+    low = (p << 28) >> 28
+    high = (p << 24) >> 28
+    tn = p.shape[1]
+    hg = tk2 // group
+    if variant == "cbittrick":
+        eb = ((e.astype(jnp.int32) + (127 - mb)) * 128).astype(jnp.int16)
+        scale = jax.lax.bitcast_convert_type(eb, jnp.bfloat16)
+
+        def scaled(codes, s):
+            c = codes.astype(jnp.bfloat16)
+            return (c.reshape(hg, group, tn) * s[:, None, :]
+                    ).reshape(tk2, tn)
+    else:  # ctwodot — production math
+        scale = jnp.exp2(e.astype(jnp.float32) - mb)
+
+        def scaled(codes, s):
+            c = codes.astype(jnp.float32)
+            return (c.reshape(hg, group, tn) * s[:, None, :]
+                    ).reshape(tk2, tn).astype(jnp.bfloat16)
+
+    acc[:] += jnp.dot(x[:, :tk2], scaled(low, scale[:hg]),
+                      preferred_element_type=jnp.float32)
+    acc[:] += jnp.dot(x[:, tk2:], scaled(high, scale[hg:]),
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def _mdma_kernel(x_ref, t_hbm, o_ref, acc, bufs, sems, *, variant, group,
+                 mb, tile_k, n_k, nbuf):
+    """Manual multi-buffered DMA over the co-packed tiles: grid walks N
+    only; the K loop runs in-kernel with ``nbuf`` outstanding HBM→VMEM
+    copies (the grid pipeline double-buffers at most, serializing DMA issue
+    latency with ~0.5 MB transfers — measured ~220 GB/s vs XLA's ~508).
+
+      mstream — fetch-only (probes the deep-buffer fetch ceiling)
+      mdma    — fetch + production twodot dequant+dots
+    """
+    n = pl.program_id(1)
+
+    def dma(k):
+        return pltpu.make_async_copy(
+            t_hbm.at[k, n], bufs.at[k % nbuf], sems.at[k % nbuf])
+
+    for k in range(min(nbuf - 1, n_k)):
+        dma(k).start()
+
+    acc[:] = jnp.zeros_like(acc)
+    tk2 = tile_k // 2
+    ge = tile_k // group
+    hg = tk2 // group
+
+    for k in range(n_k):  # static unroll: n_k is small (K/tile_k)
+        if k + nbuf - 1 < n_k:
+            dma(k + nbuf - 1).start()
+        dma(k).wait()
+        t = bufs[k % nbuf]
+        if variant == "mstream":
+            acc[:] += jnp.max(pltpu.bitcast(t, jnp.int32)
+                              ).astype(jnp.float32)
+            continue
+        x = x_ref[:, k * tile_k:(k + 1) * tile_k]
+        p = t[0:tk2, :].astype(jnp.int32)
+        e = t[tk2:tk2 + ge, :]
+        low = (p << 28) >> 28
+        high = (p << 24) >> 28
+        scale = jnp.exp2(e.astype(jnp.float32) - mb)
+        tn = p.shape[1]
+
+        def scaled(codes, s):
+            c = codes.astype(jnp.float32)
+            return (c.reshape(hg, group, tn) * s[:, None, :]
+                    ).reshape(tk2, tn).astype(jnp.bfloat16)
+
+        acc[:] += jnp.dot(x[:, :tk2], scaled(low, scale[:hg]),
+                          preferred_element_type=jnp.float32)
+        acc[:] += jnp.dot(x[:, tk2:], scaled(high, scale[hg:]),
+                          preferred_element_type=jnp.float32)
+
+    o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def make_mdma_step(variant, L, M, N, K, tile_n, tile_k, group=16, mb=3,
+                   nbuf=4):
+    n_k = K // tile_k
+    S = tile_k // 2 + tile_k // group
+    S += -S % 32
+    kern = functools.partial(_mdma_kernel, variant=variant, group=group,
+                             mb=mb, tile_k=tile_k, n_k=n_k, nbuf=nbuf)
+    grid = (1, N // tile_n)
+
+    def one(x, tiles):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((max(M, 8), K), lambda m, n: (m, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM
+            ],
+            out_specs=pl.BlockSpec((max(M, 8), tile_n),
+                                   lambda m, n: (m, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((max(M, 8), N), jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((max(M, 8), tile_n), jnp.float32),
+                pltpu.VMEM((nbuf, S, tile_n), jnp.int8),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(x, tiles)
+
+    EPS = jnp.bfloat16(1e-4)
+
+    @jax.jit
+    def step(x, tiles_l):
+        def body(x, t):
+            y = one(x, t)
+            return x + y[:, :K] * EPS, None
+
+        x, _ = jax.lax.scan(body, x, tiles_l)
+        return x
+
+    return step
+
+
+def make_copacked_step(variant, L, M, N, K, tile_n, tile_k, group=16, mb=3):
+    kern = functools.partial(_copacked_kernel, variant=variant, group=group,
+                             mb=mb, tile_k=tile_k)
+    grid = (1, N // tile_n, K // tile_k)
+    S = tile_k // 2 + tile_k // group
+    S += -S % 32
+
+    def one(x, tiles):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((max(M, 8), tile_k), lambda m, n, k: (m, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, None, S, tile_n),
+                             lambda m, n, k: (k, n, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((max(M, 8), tile_n),
+                                   lambda m, n, k: (m, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((max(M, 8), N), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((max(M, 8), tile_n), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        )(x, tiles)
+
+    EPS = jnp.bfloat16(1e-4)
+
+    @jax.jit
+    def step(x, tiles_l):
+        def body(x, t):
+            y = one(x, t)
+            return x + y[:, :K] * EPS, None
+
+        x, _ = jax.lax.scan(body, x, tiles_l)
+        return x
+
+    return step
+
+
 def make_xla_step(K, group=16, mb=3):
     EPS = jnp.bfloat16(1e-4)
 
@@ -563,9 +763,11 @@ def main():
     args = ap.parse_args()
     M, N, K, L = args.m, args.n, args.k, args.layers
 
+    COPACKED = ("cstream", "ctwodot", "cbittrick")
+    NEED_TILES = COPACKED + ("mstream", "mdma")
     key = jax.random.PRNGKey(0)
     x0 = (jax.random.normal(key, (M, K)) * 0.1).astype(jnp.bfloat16)
-    packed_l, exps_l, dense_l, packed32_l = [], [], [], []
+    packed_l, exps_l, dense_l, packed32_l, tiles_l = [], [], [], [], []
     for i in range(L):
         wt = jax.random.normal(jax.random.PRNGKey(10 + i), (K, N),
                                jnp.float32) * 0.02
@@ -576,12 +778,19 @@ def main():
             dense_l.append(wt.astype(jnp.bfloat16))
         if "pack32" in args.variants:
             packed32_l.append(pack_int4_k8(codes, tile_k=args.tile_k))
+        if any(v.startswith(p) for p in NEED_TILES for v in args.variants):
+            from lqer_tpu.ops.storage import pack_w4_tiles
+
+            tiles_l.append(pack_w4_tiles(codes, exps, args.tile_k,
+                                         args.tile_n))
     packed_l = jnp.stack(packed_l)
     exps_l = jnp.stack(exps_l)
     if dense_l:
         dense_l = jnp.stack(dense_l)
     if packed32_l:
         packed32_l = jnp.stack(packed32_l)
+    if tiles_l:
+        tiles_l = jnp.stack(tiles_l)
 
     w4_bytes = (K * N // 2 + K * N // 16) * L
     for variant in args.variants:
@@ -601,6 +810,17 @@ def main():
             step = make_pack32_step(L, M, N, K, args.tile_n, args.tile_k)
             fn = lambda x: step(x, packed32_l, exps_l)
             nbytes = w4_bytes
+        elif variant in COPACKED:
+            step = make_copacked_step(variant, L, M, N, K, args.tile_n,
+                                      args.tile_k)
+            fn = lambda x: step(x, tiles_l)
+            nbytes = int(tiles_l.size)  # whole-step bytes incl. row padding
+        elif variant.startswith("mstream") or variant.startswith("mdma"):
+            base, _, nb = variant.partition(":")
+            step = make_mdma_step(base, L, M, N, K, args.tile_n,
+                                  args.tile_k, nbuf=int(nb or 4))
+            fn = lambda x: step(x, tiles_l)
+            nbytes = int(tiles_l.size)
         else:
             step = make_pallas_step(variant, L, M, N, K, args.tile_n,
                                     args.tile_k)

@@ -645,6 +645,61 @@ def make_mdma_step(variant, L, M, N, K, tile_n, tile_k, group=16, mb=3,
     return step
 
 
+def make_cidx_step(variant, L, M, N, K, tile_n, tile_k, group=16, mb=3):
+    """Scalar-prefetch layer indexing: the kernel sees the WHOLE stacked
+    (L, n_k, n_n, S, tile_n) tiles array and its BlockSpec index_map picks
+    the layer from a prefetched scalar — the scan carries only the layer
+    index, so XLA never materializes a per-layer copy of the weight slice
+    (the hypothesis for the ~3x fetch gap: pallas_call operands cannot fuse
+    a dynamic-slice the way jnp.dot's HLO operand does)."""
+    n_k = K // tile_k
+    S = tile_k // 2 + tile_k // group
+    S += -S % 32
+    base = {"cistream": "cstream", "citwodot": "ctwodot"}[variant]
+    kern0 = functools.partial(_copacked_kernel, variant=base, group=group,
+                              mb=mb, tile_k=tile_k)
+
+    def kern(idx_ref, x_ref, t_ref, o_ref, acc):
+        del idx_ref
+        return kern0(x_ref, t_ref, o_ref, acc)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1, N // tile_n, n_k),
+        in_specs=[
+            pl.BlockSpec((max(M, 8), tile_k),
+                         lambda m, n, k, idx: (m, k)),
+            pl.BlockSpec((None, None, None, S, tile_n),
+                         lambda m, n, k, idx: (idx[0], k, n, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((max(M, 8), tile_n),
+                               lambda m, n, k, idx: (m, n)),
+        scratch_shapes=[pltpu.VMEM((max(M, 8), tile_n), jnp.float32)],
+    )
+
+    def one(x, idx, tiles_all):
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((max(M, 8), N), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        )(idx, x, tiles_all)
+
+    EPS = jnp.bfloat16(1e-4)
+
+    @jax.jit
+    def step(x, tiles_l):
+        def body(x, idx):
+            y = one(x, idx, tiles_l)   # tiles_l CLOSED OVER — no xs slice
+            return x + y[:, :K] * EPS, None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(L, dtype=jnp.int32)[:, None])
+        return x
+
+    return step
+
+
 def make_copacked_step(variant, L, M, N, K, tile_n, tile_k, group=16, mb=3):
     kern = functools.partial(_copacked_kernel, variant=variant, group=group,
                              mb=mb, tile_k=tile_k)
@@ -764,7 +819,7 @@ def main():
     M, N, K, L = args.m, args.n, args.k, args.layers
 
     COPACKED = ("cstream", "ctwodot", "cbittrick")
-    NEED_TILES = COPACKED + ("mstream", "mdma")
+    NEED_TILES = COPACKED + ("mstream", "mdma", "cistream", "citwodot")
     key = jax.random.PRNGKey(0)
     x0 = (jax.random.normal(key, (M, K)) * 0.1).astype(jnp.bfloat16)
     packed_l, exps_l, dense_l, packed32_l, tiles_l = [], [], [], [], []
@@ -815,6 +870,11 @@ def main():
                                       args.tile_k)
             fn = lambda x: step(x, tiles_l)
             nbytes = int(tiles_l.size)  # whole-step bytes incl. row padding
+        elif variant in ("cistream", "citwodot"):
+            step = make_cidx_step(variant, L, M, N, K, args.tile_n,
+                                  args.tile_k)
+            fn = lambda x: step(x, tiles_l)
+            nbytes = int(tiles_l.size)
         elif variant.startswith("mstream") or variant.startswith("mdma"):
             base, _, nb = variant.partition(":")
             step = make_mdma_step(base, L, M, N, K, args.tile_n,

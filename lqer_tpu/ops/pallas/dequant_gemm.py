@@ -209,37 +209,67 @@ def _fused_call(
     x_q, tiles, a, b, bias,
     *, mb, group, tile_m, tile_n, tile_k, rank,
     quant_xa_mb, quant_out_mb, out_dtype, interpret,
+    layer_index=None,
 ):
+    """``layer_index`` (a (1,) int32 array) selects the layer when the
+    weight-side operands carry a leading L dim (tiles (L, nk, nn, S, tn),
+    a (L, K, R), b (L, R, N), bias (L, 1, N)): the kernel indexes the
+    stacked HBM arrays directly through a scalar-prefetch BlockSpec
+    index_map. This is how the lax.scan serving paths must call the kernel —
+    threading a per-layer slice through scan xs makes XLA MATERIALIZE a copy
+    of the multi-MB slice every layer (pallas_call operands, unlike dot
+    operands, cannot fuse a dynamic-slice), tripling weight HBM traffic
+    (measured: ~3x fetch gap vs XLA's dense dot in the same window)."""
     M, K = x_q.shape
-    n_k, n_n, S, _ = tiles.shape
+    indexed = layer_index is not None
+    n_k, n_n, S, _ = tiles.shape[-4:]
     N = n_n * tile_n
     grid = (M // tile_m, n_n, n_k)
 
+    def im(f):
+        """index_map: with scalar prefetch the map receives a trailing
+        scalar ref; weight-side maps prepend the layer index."""
+        if not indexed:
+            return f
+        return lambda m, n, k, idx: f(m, n, k)
+
+    def im_w(f):
+        if not indexed:
+            return f
+        return lambda m, n, k, idx: (idx[0], *f(m, n, k))
+
+    def wshape(shape):
+        return (None, *shape) if indexed else shape
+
     in_specs = [
-        pl.BlockSpec((tile_m, tile_k), lambda m, n, k: (m, k),
+        pl.BlockSpec((tile_m, tile_k), im(lambda m, n, k: (m, k)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, None, S, tile_n), lambda m, n, k: (k, n, 0, 0),
+        pl.BlockSpec(wshape((None, None, S, tile_n)),
+                     im_w(lambda m, n, k: (k, n, 0, 0)),
                      memory_space=pltpu.VMEM),
     ]
     args = [x_q.astype(jnp.bfloat16), tiles]
     if rank > 0:
         in_specs += [
-            pl.BlockSpec((tile_k, rank), lambda m, n, k: (k, 0),
+            pl.BlockSpec(wshape((tile_k, rank)),
+                         im_w(lambda m, n, k: (k, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rank, tile_n), lambda m, n, k: (0, n),
+            pl.BlockSpec(wshape((rank, tile_n)),
+                         im_w(lambda m, n, k: (0, n)),
                          memory_space=pltpu.VMEM),
         ]
         args += [a, b]
     has_bias = bias is not None
     if has_bias:
         in_specs.append(
-            pl.BlockSpec((1, tile_n), lambda m, n, k: (0, n),
+            pl.BlockSpec(wshape((1, tile_n)),
+                         im_w(lambda m, n, k: (0, n)),
                          memory_space=pltpu.VMEM)
         )
         args.append(bias)
 
     kernel = functools.partial(
-        _kernel_variant(rank, has_bias),
+        _kernel_variant(rank, has_bias, drop_scalar=indexed),
         mb=mb, tile_k=tile_k, group=group, rank=rank, has_bias=has_bias,
         quant_xa_mb=quant_xa_mb, quant_out_mb=quant_out_mb,
     )
@@ -252,31 +282,54 @@ def _fused_call(
     except TypeError:  # older field layout
         compiler_params = None
 
+    scratch_shapes = [
+        pltpu.VMEM((tile_m, tile_n), jnp.float32),
+        pltpu.VMEM((tile_m, max(rank, 8)), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * M * N * K + (2 * M * K * rank + 2 * M * rank * N),
+        bytes_accessed=M * K * 2 + n_k * n_n * S * tile_n + M * N * 2,
+        transcendentals=0,
+    )
+    out_spec = pl.BlockSpec((tile_m, tile_n), im(lambda m, n, k: (m, n)),
+                            memory_space=pltpu.VMEM)
+    if indexed:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch_shapes,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+            cost_estimate=cost,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(jnp.asarray(layer_index, jnp.int32).reshape(1), *args)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile_m, tile_n), lambda m, n, k: (m, n),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tile_m, tile_n), jnp.float32),
-            pltpu.VMEM((tile_m, max(rank, 8)), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * M * N * K + (2 * M * K * rank + 2 * M * rank * N),
-            bytes_accessed=M * K * 2 + n_k * n_n * S * tile_n + M * N * 2,
-            transcendentals=0,
-        ),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=cost,
         compiler_params=compiler_params,
         interpret=interpret,
     )(*args)
 
 
-def _kernel_variant(rank: int, has_bias: bool):
-    """Adapter dropping absent refs from the kernel signature."""
+def _kernel_variant(rank: int, has_bias: bool, drop_scalar: bool = False):
+    """Adapter dropping absent refs from the kernel signature.
+    ``drop_scalar``: a scalar-prefetch layer-index ref arrives first (its
+    value is consumed by the BlockSpec index maps, not the kernel body)."""
 
     def k_fn(*refs, **kw):
+        if drop_scalar:
+            refs = refs[1:]
         # refs layout: x, tiles, [a, b], [bias], o, acc, xa
         idx = 2
         a_ref = b_ref = bias_ref = None
@@ -306,6 +359,7 @@ def qlinear_w4_fused(
     quant_out_width: int | None = 8,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
+    layer_index=None,
 ) -> jnp.ndarray:
     """Run the fused kernel. ``x_q (M, K)`` should already be
     activation-quantized (MXINT8 dequantized values, exact in bf16);
@@ -316,6 +370,10 @@ def qlinear_w4_fused(
     ``quant_xa_width``/``quant_out_width`` emulate the reference's
     A_out/B_out quantizers on the low-rank partials (None disables).
     ``interpret=None`` auto-selects interpreter mode off-TPU.
+    ``layer_index``: scalar int32 selecting the layer when ``prep`` holds
+    LAYER-STACKED operands (leading L dim on tiles/a/b/bias) — required
+    inside lax.scan bodies so the kernel reads the stacked HBM arrays in
+    place instead of a per-layer slice copy (see ``_fused_call``).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -328,7 +386,7 @@ def qlinear_w4_fused(
         )
     tn = prep["tile_n"]
     a, b = prep["a"], prep["b"]
-    rank = 0 if a is None else a.shape[1]
+    rank = 0 if a is None else a.shape[-1]
     tile_k = prep["tile_k"]
 
     tm = min(tile_m, M) if M >= 8 else 8
@@ -336,6 +394,10 @@ def qlinear_w4_fused(
         pad = -M % tm if M >= 8 else 8 - M
         x_q = jnp.pad(x_q, ((0, pad), (0, 0)))
     assert K % tile_k == 0
+    if layer_index is not None:
+        assert prep["tiles"].ndim == 5, (
+            "layer_index needs layer-stacked prep arrays (leading L dim)"
+        )
 
     out = _fused_call(
         x_q, prep["tiles"], a, b, prep["bias"],
@@ -343,7 +405,7 @@ def qlinear_w4_fused(
         tile_m=tm, tile_n=tn, tile_k=tile_k, rank=rank,
         quant_xa_mb=None if quant_xa_width is None else quant_xa_width - 1,
         quant_out_mb=None if quant_out_width is None else quant_out_width - 1,
-        out_dtype=out_dtype, interpret=interpret,
+        out_dtype=out_dtype, interpret=interpret, layer_index=layer_index,
     )
     return out[:M]
 

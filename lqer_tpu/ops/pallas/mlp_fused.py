@@ -231,12 +231,16 @@ def _mlp_call(
     bias_g, bias_u, bias_d,
     *, mb, group, gated, act_width, tile_m, tile_i, tile_n, tile_k, tile_k2,
     rank_gu, rank_d, has_bias, quant_xa_mb, quant_out_mb, out_dtype,
-    interpret,
+    interpret, layer_index=None,
 ):
+    """``layer_index``: scalar-prefetch layer selection over LAYER-STACKED
+    weight operands (leading L dim) — see ``dequant_gemm._fused_call`` for
+    why scan bodies must use this instead of per-layer slices."""
     M, K = x_q.shape
-    I = tg.shape[1] * tile_i
-    N = td.shape[1] * tile_n
-    Sg, Sd = tg.shape[2], td.shape[2]
+    indexed = layer_index is not None
+    I = tg.shape[-3] * tile_i
+    N = td.shape[-3] * tile_n
+    Sg, Sd = tg.shape[-2], td.shape[-2]
     n_i, n_k = I // tile_i, K // tile_k
     n_n, n_k2 = N // tile_n, I // tile_k2
     P = n_i * n_k + n_n * n_k2
@@ -249,7 +253,21 @@ def _mlp_call(
     args = []
 
     def add(arr, shape, index_map):
+        if indexed:
+            f = index_map
+            index_map = lambda m, p, idx: f(m, p)  # noqa: E731
         specs.append(pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM))
+        args.append(arr)
+
+    def add_w(arr, shape, index_map):
+        """Weight-side operand: leading layer dim + idx-prefixed index map
+        when layer-indexed."""
+        if not indexed:
+            return add(arr, shape, index_map)
+        f = index_map
+        specs.append(pl.BlockSpec(
+            (None, *shape), lambda m, p, idx: (idx[0], *f(m, p)),
+            memory_space=pltpu.VMEM))
         args.append(arr)
 
     P1 = n_i * n_k
@@ -263,26 +281,28 @@ def _mlp_call(
 
     add(x_q.astype(jnp.bfloat16), (tile_m, tile_k),
         lambda m, p: c(m, p1_idx(p)[0]))
-    add(tg, (None, None, Sg, tile_i), lambda m, p: c(*p1_idx(p), 0, 0))
+    add_w(tg, (None, None, Sg, tile_i), lambda m, p: c(*p1_idx(p), 0, 0))
     if gated:
-        add(tu, (None, None, Sg, tile_i), lambda m, p: c(*p1_idx(p), 0, 0))
-    add(td, (None, None, Sd, tile_n), lambda m, p: c(*p2_idx(p), 0, 0))
+        add_w(tu, (None, None, Sg, tile_i), lambda m, p: c(*p1_idx(p), 0, 0))
+    add_w(td, (None, None, Sd, tile_n), lambda m, p: c(*p2_idx(p), 0, 0))
     if rank_gu > 0:
-        add(a_gu, (tile_k, rank_gu), lambda m, p: c(p1_idx(p)[0], 0))
-        add(b_g, (b_g.shape[0], tile_i), lambda m, p: c(0, p1_idx(p)[1]))
+        add_w(a_gu, (tile_k, rank_gu), lambda m, p: c(p1_idx(p)[0], 0))
+        add_w(b_g, (b_g.shape[-2], tile_i), lambda m, p: c(0, p1_idx(p)[1]))
         if gated:
-            add(b_u, (b_u.shape[0], tile_i), lambda m, p: c(0, p1_idx(p)[1]))
+            add_w(b_u, (b_u.shape[-2], tile_i),
+                  lambda m, p: c(0, p1_idx(p)[1]))
     if rank_d > 0:
-        add(a_d, (tile_k2, rank_d), lambda m, p: c(p2_idx(p)[0], 0))
-        add(b_d, (rank_d, tile_n), lambda m, p: c(0, p2_idx(p)[1]))
+        add_w(a_d, (tile_k2, rank_d), lambda m, p: c(p2_idx(p)[0], 0))
+        add_w(b_d, (rank_d, tile_n), lambda m, p: c(0, p2_idx(p)[1]))
     if has_bias:
-        add(bias_g, (1, tile_i), lambda m, p: c(0, p1_idx(p)[1]))
+        add_w(bias_g, (1, tile_i), lambda m, p: c(0, p1_idx(p)[1]))
         if gated:
-            add(bias_u, (1, tile_i), lambda m, p: c(0, p1_idx(p)[1]))
-        add(bias_d, (1, tile_n), lambda m, p: c(0, p2_idx(p)[1]))
+            add_w(bias_u, (1, tile_i), lambda m, p: c(0, p1_idx(p)[1]))
+        add_w(bias_d, (1, tile_n), lambda m, p: c(0, p2_idx(p)[1]))
 
     kernel = functools.partial(
-        _mlp_kernel_variant(gated, rank_gu, rank_d, has_bias),
+        _mlp_kernel_variant(gated, rank_gu, rank_d, has_bias,
+                            drop_scalar=indexed),
         mb=mb, group=group, gated=gated,
         act_mb=None if act_width is None else act_width - 1,
         n_i=n_i, n_k=n_k, n_n=n_n, n_k2=n_k2,
@@ -294,33 +314,56 @@ def _mlp_call(
     flops = 2 * M * K * I * (2 if gated else 1) + 2 * M * I * N
     bytes_acc = (M * K * 2 + tg.size * (2 if gated else 1)
                  + td.size + M * N * 4)
+    out_map = (lambda m, p: c(m, p2_idx(p)[1])) if not indexed else \
+        (lambda m, p, idx: c(m, p2_idx(p)[1]))
+    scratch_shapes = [
+        pltpu.VMEM((tile_m, tile_i), jnp.float32),   # acc_g
+        pltpu.VMEM((tile_m, tile_i), jnp.float32),   # acc_u
+        pltpu.VMEM((tile_m, tile_n), jnp.float32),   # acc_d
+        pltpu.VMEM((tile_m, max(rank_gu, 8)), jnp.float32),  # xa_gu
+        pltpu.VMEM((tile_m, max(rank_d, 8)), jnp.float32),   # xa_d
+        pltpu.VMEM((tile_m, I), jnp.float32),        # intermediate
+    ]
+    cost = pl.CostEstimate(
+        flops=flops, bytes_accessed=bytes_acc, transcendentals=M * I)
+    out_spec = pl.BlockSpec((tile_m, tile_n), out_map,
+                            memory_space=pltpu.VMEM)
+    if indexed:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_m, P),
+            in_specs=specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch_shapes,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(layer_index, jnp.int32).reshape(1), *args)
     return pl.pallas_call(
         kernel,
         grid=(n_m, P),
         in_specs=specs,
-        out_specs=pl.BlockSpec((tile_m, tile_n),
-                               lambda m, p: c(m, p2_idx(p)[1]),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tile_m, tile_i), jnp.float32),   # acc_g
-            pltpu.VMEM((tile_m, tile_i), jnp.float32),   # acc_u
-            pltpu.VMEM((tile_m, tile_n), jnp.float32),   # acc_d
-            pltpu.VMEM((tile_m, max(rank_gu, 8)), jnp.float32),  # xa_gu
-            pltpu.VMEM((tile_m, max(rank_d, 8)), jnp.float32),   # xa_d
-            pltpu.VMEM((tile_m, I), jnp.float32),        # intermediate
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_acc, transcendentals=M * I),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=cost,
         interpret=interpret,
     )(*args)
 
 
-def _mlp_kernel_variant(gated, rank_gu, rank_d, has_bias):
-    """Adapter threading only the present refs into the full signature."""
+def _mlp_kernel_variant(gated, rank_gu, rank_d, has_bias,
+                        drop_scalar: bool = False):
+    """Adapter threading only the present refs into the full signature.
+    ``drop_scalar``: a scalar-prefetch layer-index ref arrives first."""
 
     def k_fn(*refs, **kw):
         refs = list(refs)
+        if drop_scalar:
+            refs = refs[1:]
         idx = 0
 
         def take(present):
@@ -366,6 +409,7 @@ def mlp_w4_fused(
     quant_out_width: int | None = 8,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
+    layer_index=None,
 ) -> jnp.ndarray:
     """Run the fused MLP. ``prep`` from :func:`prepare_mlp_weights`.
     ``act_width`` is the down-projection's activation quantizer width applied
@@ -390,10 +434,14 @@ def mlp_w4_fused(
         x_q = jnp.pad(x_q, ((0, pad), (0, 0)))
 
     a_gu = prep["a_gu"]
-    rank_gu = 0 if a_gu is None else a_gu.shape[1]
+    rank_gu = 0 if a_gu is None else a_gu.shape[-1]
     a_d = prep["a_d"]
-    rank_d = 0 if a_d is None else a_d.shape[1]
+    rank_d = 0 if a_d is None else a_d.shape[-1]
     has_bias = prep["bias_g"] is not None
+    if layer_index is not None:
+        assert prep["tg"].ndim == 5, (
+            "layer_index needs layer-stacked prep arrays (leading L dim)"
+        )
 
     out = _mlp_call(
         x_q, prep["tg"], prep["tu"], prep["td"],
@@ -405,6 +453,6 @@ def mlp_w4_fused(
         rank_gu=rank_gu, rank_d=rank_d, has_bias=has_bias,
         quant_xa_mb=None if quant_xa_width is None else quant_xa_width - 1,
         quant_out_mb=None if quant_out_width is None else quant_out_width - 1,
-        out_dtype=out_dtype, interpret=interpret,
+        out_dtype=out_dtype, interpret=interpret, layer_index=layer_index,
     )
     return out[:M]

@@ -62,18 +62,21 @@ def _lin_group(x, params, layer_prefix, fused_rel, member_rels, qcs,
 
 
 def _mlp_fused_or_none(x, layer_prefix, qc_first, qc_down, backend,
-                       interpret=None, backend_meta=None, backend_slice=None):
+                       interpret=None, backend_meta=None, backend_slice=None,
+                       layer_index=None):
     """Whole-MLP megakernel when the backend packed it (``{p}.mlp_fused``):
     gate|up GEMMs, activation, act-quant and down GEMM in ONE launch.
     Returns None when not packed (caller runs the per-linear path).
-    Scan bodies pass (backend_meta, backend_slice) instead of ``backend``."""
+    Scan bodies pass (backend_meta, backend_slice[=full stacked arrays],
+    layer_index) instead of ``backend``."""
     key = f"{layer_prefix}.mlp_fused" if layer_prefix else "mlp_fused"
     if backend_slice is not None and key in backend_slice:
         from .pallas_backend import serving_mlp
 
         one = {"arrays": {key: backend_slice[key]},
                "meta": {key: backend_meta[key]}}
-        return serving_mlp(x, key, one, qc_first, qc_down)
+        return serving_mlp(x, key, one, qc_first, qc_down,
+                           layer_index=layer_index)
     if backend is not None and key in backend.get("meta", {}):
         from .pallas_backend import serving_mlp
 
@@ -437,14 +440,22 @@ def stack_backend(backend: dict, cfg) -> dict | None:
     return {"arrays": arrays, "meta": meta}
 
 
-def _lin_slice(x, sl, rel, qc, backend_meta, backend_slice):
-    """Linear inside the scan body: Pallas kernel when a backend slice is
-    present, else emulated qlinear on the stacked-param slice."""
-    if backend_slice is not None and rel in backend_slice:
+def _lin_slice(x, sl, rel, qc, backend_meta, backend_arrays,
+               layer_index=None):
+    """Linear inside the scan body: Pallas kernel when the backend packed
+    the module, else emulated qlinear on the stacked-param slice.
+
+    ``backend_arrays[rel]`` holds the FULL layer-stacked kernel operands
+    (leading L dim) and ``layer_index`` selects the layer via the kernel's
+    scalar-prefetch path — threading a per-layer slice through scan xs makes
+    XLA materialize a multi-MB copy per layer (see dequant_gemm._fused_call).
+    ``layer_index=None`` keeps the legacy per-layer-slice behavior."""
+    if backend_arrays is not None and rel in backend_arrays:
         from .pallas_backend import serving_linear
 
-        one = {"arrays": {rel: backend_slice[rel]}, "meta": {rel: backend_meta[rel]}}
-        return serving_linear(x, rel, one, qc)
+        one = {"arrays": {rel: backend_arrays[rel]},
+               "meta": {rel: backend_meta[rel]}}
+        return serving_linear(x, rel, one, qc, layer_index=layer_index)
     from ..ops.qlinear import qlinear
 
     m = {k: sl.get(f"{rel}.{k}") for k in ("weight", "bias", "A", "B")}
@@ -452,17 +463,19 @@ def _lin_slice(x, sl, rel, qc, backend_meta, backend_slice):
 
 
 def _lin_group_slice(x, sl, fused_rel, member_rels, qcs,
-                     backend_meta, backend_slice):
+                     backend_meta, backend_arrays, layer_index=None):
     """Scan-body analogue of :func:`_lin_group`: one fused launch when the
     stacked backend holds the fused entry, else per-member linears."""
     if backend_meta is not None and fused_rel in backend_meta:
         from .pallas_backend import serving_linear_split
 
-        one = {"arrays": {fused_rel: backend_slice[fused_rel]},
+        one = {"arrays": {fused_rel: backend_arrays[fused_rel]},
                "meta": {fused_rel: backend_meta[fused_rel]}}
-        return serving_linear_split(x, fused_rel, one, qcs[0])
+        return serving_linear_split(x, fused_rel, one, qcs[0],
+                                    layer_index=layer_index)
     return [
-        _lin_slice(x, sl, rel, qc, backend_meta, backend_slice)
+        _lin_slice(x, sl, rel, qc, backend_meta, backend_arrays,
+                   layer_index=layer_index)
         for rel, qc in zip(member_rels, qcs)
     ]
 
@@ -516,21 +529,26 @@ def _q_segments(layer_qcfg, num_layers: int, default_q: dict):
     return layer_qcfg_segments(list(layer_qcfg), num_layers)
 
 
-def _scan_segments(make_body, segments, h, stacked, cache, b_arrays):
+def _scan_segments(make_body, segments, h, stacked, cache, num_layers):
     """Run the layer scan per config segment (one traced body per distinct
     run of per-layer configs — the reference's ``model_layer_{i}`` surface,
-    `llama_decoder.py:423-482`), re-joining the cache slices."""
+    `llama_decoder.py:423-482`), re-joining the cache slices.
+
+    Backend kernel operands do NOT thread through scan xs — the body closes
+    over the full stacked arrays and xs carries only the absolute layer
+    index, which the kernels consume via scalar prefetch (no per-layer
+    slice copies; see dequant_gemm._fused_call)."""
+    idxs = jnp.arange(num_layers, dtype=jnp.int32)[:, None]
     if len(segments) == 1:
         _, _, q = segments[0]
-        return jax.lax.scan(make_body(q), h, (stacked, cache, b_arrays))
+        return jax.lax.scan(make_body(q), h, (stacked, cache, idxs))
 
     def sl(tree, s, e):
         return jax.tree_util.tree_map(lambda a: a[s:e], tree)
 
     parts = []
     for s, e, q in segments:
-        xs = (sl(stacked, s, e), sl(cache, s, e),
-              None if b_arrays is None else sl(b_arrays, s, e))
+        xs = (sl(stacked, s, e), sl(cache, s, e), idxs[s:e])
         h, cache_part = jax.lax.scan(make_body(q), h, xs)
         parts.append(cache_part)
     cache = jax.tree_util.tree_map(
@@ -590,14 +608,14 @@ def llama_step_scan(
                                   cfg.head_dim)
 
         def body(h, xs):
-            sl, cache_sl, bsl = xs
+            sl, cache_sl, li = xs
             residual = h
             hn = rms_norm(h, rel_mod(sl, "input_layernorm"), cfg.rms_norm_eps)
             qy, ky, vy = _lin_group_slice(
                 hn, sl, "self_attn.qkv_proj",
                 ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
                 (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj),
-                b_meta, bsl,
+                b_meta, b_arrays, layer_index=li,
             )
             qh = _heads(qy, cfg.num_attention_heads)
             kh = _heads(ky, cfg.kv_heads)
@@ -616,7 +634,8 @@ def llama_step_scan(
                                 getattr(cfg, "sliding_window", None), use_ak,
                                 quant_slices=qsl)
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.o_proj",
-                              attn_cfg.o_proj, b_meta, bsl)
+                              attn_cfg.o_proj, b_meta, b_arrays,
+                              layer_index=li)
             h = residual + attn
 
             residual = h
@@ -624,16 +643,17 @@ def llama_step_scan(
                           cfg.rms_norm_eps)
             y = _mlp_fused_or_none(hn, None, q["gate_proj"], q["down_proj"],
                                    None, backend_meta=b_meta,
-                                   backend_slice=bsl)
+                                   backend_slice=b_arrays, layer_index=li)
             if y is None:
                 gate, up = _lin_group_slice(
                     hn, sl, "mlp.gateup_proj",
                     ("mlp.gate_proj", "mlp.up_proj"),
                     (q["gate_proj"], q["up_proj"]),
-                    b_meta, bsl,
+                    b_meta, b_arrays, layer_index=li,
                 )
                 y = _lin_slice(jax.nn.silu(gate) * up, sl,
-                               "mlp.down_proj", q["down_proj"], b_meta, bsl)
+                               "mlp.down_proj", q["down_proj"], b_meta,
+                               b_arrays, layer_index=li)
             h = residual + y
             return h, new_sl
 
@@ -641,7 +661,7 @@ def llama_step_scan(
 
     b_arrays = None if backend_stacked is None else backend_stacked["arrays"]
     h, cache = _scan_segments(make_body, segments, h, stacked, cache,
-                              b_arrays)
+                              cfg.num_hidden_layers)
 
     h = rms_norm(h, {"weight": rest["model.norm.weight"],
                      "bias": rest.get("model.norm.bias")}, cfg.rms_norm_eps)
@@ -694,7 +714,7 @@ def opt_step_scan(
                                   cfg.head_dim)
 
         def body(h, xs):
-            sl, cache_sl, bsl = xs
+            sl, cache_sl, li = xs
             residual = h
             hn = layer_norm(h, rel_mod(sl, "self_attn_layer_norm")) \
                 if cfg.do_layer_norm_before else h
@@ -702,7 +722,7 @@ def opt_step_scan(
                 hn, sl, "self_attn.qkv_proj",
                 ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
                 (attn_cfg.q_proj, attn_cfg.k_proj, attn_cfg.v_proj),
-                b_meta, bsl,
+                b_meta, b_arrays, layer_index=li,
             )
             qh = _heads(qy, cfg.num_attention_heads)
             kh = _heads(ky, cfg.num_attention_heads)
@@ -718,7 +738,8 @@ def opt_step_scan(
                                 cfg.head_dim**-0.5, 1, True, positions, None,
                                 use_ak, quant_slices=qsl)
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.out_proj",
-                              attn_cfg.o_proj, b_meta, bsl)
+                              attn_cfg.o_proj, b_meta, b_arrays,
+                              layer_index=li)
             h = residual + attn
             if not cfg.do_layer_norm_before:
                 h = layer_norm(h, rel_mod(sl, "self_attn_layer_norm"))
@@ -727,11 +748,14 @@ def opt_step_scan(
             hn = layer_norm(h, rel_mod(sl, "final_layer_norm")) \
                 if cfg.do_layer_norm_before else h
             y = _mlp_fused_or_none(hn, None, q["fc1"], q["fc2"], None,
-                                   backend_meta=b_meta, backend_slice=bsl)
+                                   backend_meta=b_meta, backend_slice=b_arrays,
+                                   layer_index=li)
             if y is None:
-                y = _lin_slice(hn, sl, "fc1", q["fc1"], b_meta, bsl)
+                y = _lin_slice(hn, sl, "fc1", q["fc1"], b_meta, b_arrays,
+                               layer_index=li)
                 y = jax.nn.relu(y)
-                y = _lin_slice(y, sl, "fc2", q["fc2"], b_meta, bsl)
+                y = _lin_slice(y, sl, "fc2", q["fc2"], b_meta, b_arrays,
+                               layer_index=li)
             h = residual + y
             if not cfg.do_layer_norm_before:
                 h = layer_norm(h, rel_mod(sl, "final_layer_norm"))
@@ -741,7 +765,7 @@ def opt_step_scan(
 
     b_arrays = None if backend_stacked is None else backend_stacked["arrays"]
     h, cache = _scan_segments(make_body, segments, h, stacked, cache,
-                              b_arrays)
+                              cfg.num_hidden_layers)
 
     if rest.get("model.decoder.final_layer_norm.weight") is not None:
         h = layer_norm(h, opt_mod._mod(rest, "model.decoder.final_layer_norm"))

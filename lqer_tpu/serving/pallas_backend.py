@@ -451,6 +451,7 @@ def serving_mlp(
     qc_down,
     *,
     interpret: bool | None = None,
+    layer_index=None,
 ) -> jnp.ndarray:
     """Run a layer's whole MLP through the megakernel: one launch for any
     token count (the kernel's grid tiles M at 128; the (tile_m, I)
@@ -468,6 +469,7 @@ def serving_mlp(
         tile_n=prep["tile_n"], act_width=prep["act_width"],
         quant_xa_width=prep["xa_width"], quant_out_width=prep["out_width"],
         out_dtype=jnp.float32, interpret=interpret,
+        layer_index=layer_index,
     )
     return y.reshape(b, s, -1).astype(x.dtype)
 
@@ -479,6 +481,7 @@ def serving_linear(
     qc,
     *,
     interpret: bool | None = None,
+    layer_index=None,
 ) -> jnp.ndarray:
     """Quantize activations (exact-in-bf16 MXINT8 emulation) then run the
     fused kernel. ``backend`` = {"arrays": {...}, "meta": {...}} from
@@ -496,6 +499,7 @@ def serving_linear(
         quant_out_width=prep["out_width"],
         out_dtype=jnp.float32,
         interpret=interpret,
+        layer_index=layer_index,
     )
     return y.reshape(b, s, -1).astype(x.dtype)
 
@@ -507,11 +511,13 @@ def serving_linear_split(
     qc,
     *,
     interpret: bool | None = None,
+    layer_index=None,
 ) -> list[jnp.ndarray]:
     """Run a fused projection group (qkv / gate|up) as one kernel launch and
     split the output back into the member projections (static split sizes
     from ``meta[...]["splits"]``)."""
-    y = serving_linear(x, fused_prefix, backend, qc, interpret=interpret)
+    y = serving_linear(x, fused_prefix, backend, qc, interpret=interpret,
+                       layer_index=layer_index)
     splits = backend["meta"][fused_prefix]["splits"]
     offsets = []
     acc = 0

@@ -90,6 +90,43 @@ def test_mlp_fused_matches_emulation(gated, rank, bias):
                                atol=5e-3, rtol=5e-3)
 
 
+def test_mlp_layer_indexed_matches_per_layer():
+    """Scalar-prefetch layer indexing over layer-stacked MLP preps must
+    reproduce the per-layer megakernel exactly (scan-body no-copy path)."""
+    rng = np.random.default_rng(3)
+    L, M, K, I, N, rank = 2, 8, 256, 512, 256, 16
+    x_q = _xq(jax.random.PRNGKey(5), M, K)
+    preps = []
+    for _ in range(L):
+        wg = jnp.asarray(rng.standard_normal((I, K)) * 0.1, jnp.float32)
+        wu = jnp.asarray(rng.standard_normal((I, K)) * 0.1, jnp.float32)
+        wd = jnp.asarray(rng.standard_normal((N, I)) * 0.1, jnp.float32)
+        preps.append(prepare_mlp_weights(
+            wg, wu, wd,
+            a_gate=_ab_q(rng.standard_normal((K, rank)) * 0.02),
+            b_gate=_ab_q(rng.standard_normal((rank, I)) * 0.02),
+            a_up=_ab_q(rng.standard_normal((K, rank)) * 0.02),
+            b_up=_ab_q(rng.standard_normal((rank, I)) * 0.02),
+            a_down=_ab_q(rng.standard_normal((I, rank)) * 0.02),
+            b_down=_ab_q(rng.standard_normal((rank, N)) * 0.02),
+            tile_i=128, tile_n=128,
+        ))
+    static = {"gated", "fmt", "tile_k", "tile_k2", "tile_i", "tile_n"}
+    stacked = {k: preps[0][k] for k in static}
+    stacked.update({
+        k: (None if preps[0][k] is None
+            else jnp.stack([p[k] for p in preps]))
+        for k in preps[0] if k not in static
+    })
+    for i in range(L):
+        ref = mlp_w4_fused(x_q, preps[i], tile_i=128, tile_n=128,
+                           interpret=True)
+        got = mlp_w4_fused(x_q, stacked, tile_i=128, tile_n=128,
+                           interpret=True,
+                           layer_index=jnp.asarray([i], jnp.int32))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_mlp_fused_multiple_m_tiles():
     """Prefill-sized batches: the (m, phase) grid must reproduce the
     single-tile math for every M tile."""

@@ -109,6 +109,38 @@ class TestFusedKernel:
             np.asarray(out), np.asarray(ref), atol=5e-3, rtol=1e-3
         )
 
+    def test_layer_indexed_matches_per_layer(self):
+        """Scalar-prefetch layer indexing over LAYER-STACKED prep arrays
+        must reproduce the per-layer calls exactly — the lax.scan serving
+        paths rely on this to avoid XLA materializing a copy of each
+        layer's multi-MB weight slice (see _fused_call docstring)."""
+        L, M, K, N, rank = 3, 8, 256, 256, 16
+        key = jax.random.PRNGKey(11)
+        x_q = _mk_xq(jax.random.fold_in(key, 99), M, K)
+        preps = []
+        for i in range(L):
+            k2, k3, k4, k5 = jax.random.split(jax.random.fold_in(key, i), 4)
+            w = jax.random.normal(k2, (N, K)) * 0.05
+            a = jax.random.normal(k3, (K, rank)) * 0.01
+            b = jax.random.normal(k4, (rank, N)) * 0.01
+            bias = jax.random.normal(k5, (N,)) * 0.1
+            preps.append(prepare_w4_weights(w, a, b, bias, tile_k=256,
+                                            tile_n=128))
+        stacked = {
+            "tiles": jnp.stack([p["tiles"] for p in preps]),
+            "a": jnp.stack([p["a"] for p in preps]),
+            "b": jnp.stack([p["b"] for p in preps]),
+            "bias": jnp.stack([p["bias"] for p in preps]),
+            "tile_k": 256, "tile_n": 128, "fmt": preps[0]["fmt"],
+        }
+        for i in range(L):
+            ref = qlinear_w4_fused(x_q, preps[i], tile_m=8, interpret=True)
+            got = qlinear_w4_fused(
+                x_q, stacked, tile_m=8, interpret=True,
+                layer_index=jnp.asarray([i], jnp.int32),
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_small_m_padding(self):
         # decode shape: M=2 below the 8-sublane tile
         key = jax.random.PRNGKey(8)

@@ -61,23 +61,21 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "4"))
 ITERS = int(os.environ.get("BENCH_ITERS", "48"))
 
 
-def _chain(fn, state, iters):
+def _bench(chain_fn, state0, iters, warmup=True):
+    """``chain_fn(state) -> state`` runs ITERS decode steps inside ONE
+    dispatch (lax.scan over iterations): the environment's per-dispatch
+    relay hop (~0.25-0.8 ms) amortizes to <1% of the measured chain instead
+    of ~56 us/layer (measured intercept of per-dispatch chaining). Returns
+    the chain's average per-step time — still bias-free upward (contention
+    and the single hop only inflate). Drained with a VALUE fetch — see
+    module docstring."""
+    if warmup:
+        state0 = chain_fn(state0)
+        jax.device_get(state0[0])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state = fn(state)
+    state = chain_fn(state0)
     jax.device_get(state[0])
-    return time.perf_counter() - t0
-
-
-def _bench(fn, state0, iters, warmup=2):
-    """min-over-repeats wrapper is at the call site; this returns ONE long
-    chain's average (bias-free upward: contention/relay latency only
-    inflate). Drained with a VALUE fetch — see module docstring."""
-    state = state0
-    for _ in range(warmup):
-        state = fn(state)
-    jax.device_get(state[0])
-    return _chain(fn, state, iters) / iters
+    return (time.perf_counter() - t0) / iters, state
 
 
 def main():
@@ -118,18 +116,26 @@ def main():
 
     from functools import partial
 
+    iters = ITERS if on_tpu else 2
+
     @partial(jax.jit, donate_argnums=(1,))
-    def step_fused(tokens, cache, stacked, rest, b_arrays):
-        logits, cache = llama_step_scan(
-            {}, tokens[:, None], cache, positions, cfg, qcfg0,
-            stacked=stacked, rest=rest,
-            backend_stacked={"arrays": b_arrays, "meta": bs["meta"]},
-        )
-        return jnp.argmax(logits[:, 0, :], -1).astype(jnp.int32), cache
+    def chain_fused(tokens, cache, stacked, rest, b_arrays):
+        def it(state, _):
+            tok, cache = state
+            logits, cache = llama_step_scan(
+                {}, tok[:, None], cache, positions, cfg, qcfg0,
+                stacked=stacked, rest=rest,
+                backend_stacked={"arrays": b_arrays, "meta": bs["meta"]},
+            )
+            return (jnp.argmax(logits[:, 0, :], -1).astype(jnp.int32),
+                    cache), None
+
+        state, _ = jax.lax.scan(it, (tokens, cache), None, length=iters)
+        return state
 
     def fused_fn(state):
         tok, cache = state
-        return step_fused(tok, cache, stacked, rest, bs["arrays"])
+        return chain_fused(tok, cache, stacked, rest, bs["arrays"])
 
     # ---- dense bf16 baseline: same step, fp weights, bf16 KV cache --------
     # dense fp weights at bf16 (generated on device, layer-stacked)
@@ -156,29 +162,35 @@ def main():
     cache_d = make_cache(cfg, slots, ctx, jnp.bfloat16)
 
     @partial(jax.jit, donate_argnums=(1,))
-    def step_dense(tokens, cache, stacked_d, rest):
-        logits, cache = llama_step_scan(
-            {}, tokens[:, None], cache, positions, cfg, None,
-            stacked=stacked_d, rest=rest, backend_stacked=None,
-        )
-        return jnp.argmax(logits[:, 0, :], -1).astype(jnp.int32), cache
+    def chain_dense(tokens, cache, stacked_d, rest):
+        def it(state, _):
+            tok, cache = state
+            logits, cache = llama_step_scan(
+                {}, tok[:, None], cache, positions, cfg, None,
+                stacked=stacked_d, rest=rest, backend_stacked=None,
+            )
+            return (jnp.argmax(logits[:, 0, :], -1).astype(jnp.int32),
+                    cache), None
+
+        state, _ = jax.lax.scan(it, (tokens, cache), None, length=iters)
+        return state
 
     def dense_fn(state):
         tok, cache = state
-        return step_dense(tok, cache, stacked_dense, rest)
+        return chain_dense(tok, cache, stacked_dense, rest)
 
     tok0 = jnp.zeros((slots,), jnp.int32)
-    iters = ITERS if on_tpu else 2
     repeats = REPEATS if on_tpu else 1
     trace_dir = os.environ.get("BENCH_TRACE")  # profiler capture (xprof)
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
     t_f, t_d = [], []
-    for _ in range(repeats):
-        t_f.append(_bench(fused_fn, (tok0, cache_f), iters) * scale)
-        cache_f = make_cache(cfg, slots, ctx, "mxint8")  # donated: rebuild
-        t_d.append(_bench(dense_fn, (tok0, cache_d), iters) * scale)
-        cache_d = make_cache(cfg, slots, ctx, jnp.bfloat16)
+    state_f, state_d = (tok0, cache_f), (tok0, cache_d)
+    for r in range(repeats):
+        t, state_f = _bench(fused_fn, state_f, iters, warmup=(r == 0))
+        t_f.append(t * scale)
+        t, state_d = _bench(dense_fn, state_d, iters, warmup=(r == 0))
+        t_d.append(t * scale)
     if trace_dir:
         jax.profiler.stop_trace()
         print(f"[bench] profiler trace written to {trace_dir}", file=sys.stderr)

@@ -157,6 +157,8 @@ def decode_attention(
     L = k_cache.shape[2]
     n_rep = H // KVH
     assert L % group == 0, (L, group)
+    kc = _kvh_chunk(KVH, L, d, k_cache.dtype.itemsize)
+    G, Hq = KVH // kc, kc * n_rep
 
     kernel = functools.partial(
         _kernel, scaling=scaling, scale_query=scale_query, window=window,
@@ -168,17 +170,17 @@ def decode_attention(
     )
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, G),
         in_specs=[
-            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H, 1, d), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((B,), lambda b, g: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hq, 1, d), lambda b, g: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KVH, L, d), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, kc, L, d), lambda b, g: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KVH, L, d), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, kc, L, d), lambda b, g: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, 1, d), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, Hq, 1, d), lambda b, g: (b, g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, 1, d), out_dtype),
         cost_estimate=pl.CostEstimate(
@@ -190,9 +192,38 @@ def decode_attention(
     )(positions.astype(jnp.int32), q, k_cache, v_cache)
 
 
-def _kernel_quantized(pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref, o_ref,
-                      *, scaling, scale_query, window, group, q_mb, k_mb,
-                      p_mb, v_mb, n_rep, cache_mb):
+def _kvh_chunk(KVH: int, L: int, d: int, bytes_per_val: float,
+               budget: int = 8 * 1024 * 1024) -> int:
+    """Largest divisor of KVH whose double-buffered K+V head-chunk block
+    fits the VMEM budget — each grid program keeps ``chunk`` heads' whole-L
+    K and V resident, so long contexts (e.g. 32 kv-heads x 2048 x 128) must
+    split the head dim across programs instead of overflowing VMEM."""
+    per_head = 2 * L * d * bytes_per_val * 2  # K+V, double-buffered
+    chunk = KVH
+    while chunk > 1 and chunk * per_head > budget:
+        c = chunk - 1
+        while KVH % c:
+            c -= 1
+        chunk = c
+    return chunk
+
+
+def _kernel_quantized(*refs, scaling, scale_query, window, group, q_mb, k_mb,
+                      p_mb, v_mb, n_rep, cache_mb, drop_scalar=False):
+    if drop_scalar:  # scalar-prefetch layer index consumed by the BlockSpecs
+        refs = refs[1:]
+    pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref, o_ref = refs
+    return _kernel_quantized_body(
+        pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref, o_ref,
+        scaling=scaling, scale_query=scale_query, window=window, group=group,
+        q_mb=q_mb, k_mb=k_mb, p_mb=p_mb, v_mb=v_mb, n_rep=n_rep,
+        cache_mb=cache_mb,
+    )
+
+
+def _kernel_quantized_body(pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref,
+                           o_ref, *, scaling, scale_query, window, group,
+                           q_mb, k_mb, p_mb, v_mb, n_rep, cache_mb):
     """Quantized-cache variant: K/V arrive as MXINT8 codes + per-16-wide
     d-group exponents (`serving.kv_cache.init_quantized_kv_cache`) and decode
     IN VMEM — the HBM stream is 8.5 bits/value instead of 16/32, and the
@@ -266,8 +297,8 @@ def _kernel_quantized(pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref, o_ref,
 )
 def decode_attention_quantized(
     q: jnp.ndarray,          # (B, H, 1, d) RAW queries (rope applied)
-    k_codes: jnp.ndarray,    # (B, KVH, L, d) int8
-    k_exps: jnp.ndarray,     # (B, KVH, L, d/16) int8
+    k_codes: jnp.ndarray,    # (B, KVH, L, d) int8 — or (NL, B, KVH, L, d)
+    k_exps: jnp.ndarray,     # (B, KVH, L, d/16) int8    with layer_index
     v_codes: jnp.ndarray,
     v_exps: jnp.ndarray,
     positions: jnp.ndarray,  # (B,) int32
@@ -282,15 +313,27 @@ def decode_attention_quantized(
     v_width: int | None = 8,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
+    layer_index=None,
 ) -> jnp.ndarray:
-    """Fused decode attention over the MXINT8-quantized KV cache."""
+    """Fused decode attention over the MXINT8-quantized KV cache.
+
+    ``layer_index``: scalar int32 selecting the layer when the cache arrays
+    carry a leading layer dim — the kernel then reads the FULL stacked cache
+    in place via a scalar-prefetch BlockSpec. Scan bodies must use this:
+    threading a per-layer cache slice through scan xs makes XLA materialize
+    a copy of the whole multi-hundred-MB slice every layer (the same
+    pallas-operand/dynamic-slice pathology as dequant_gemm._fused_call —
+    and at decode the cache stream dominates the step's bytes)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, S, d = q.shape
     assert S == 1, S
-    KVH, L = k_codes.shape[1], k_codes.shape[2]
+    indexed = layer_index is not None
+    assert k_codes.ndim == (5 if indexed else 4), (
+        "layer_index requires layer-stacked cache operands", k_codes.shape)
+    KVH, L = k_codes.shape[-3], k_codes.shape[-2]
     n_rep = H // KVH
-    cache_group = d // k_exps.shape[3]
+    cache_group = d // k_exps.shape[-1]
     assert cache_group == group, (cache_group, group)
     assert L % group == 0 and d % group == 0, (L, d, group)
 
@@ -301,30 +344,64 @@ def decode_attention_quantized(
         k_mb=None if k_width is None else k_width - 1,
         p_mb=None if p_width is None else p_width - 1,
         v_mb=None if v_width is None else v_width - 1,
+        drop_scalar=indexed,
     )
-    spec_c = pl.BlockSpec((1, KVH, L, d), lambda b: (b, 0, 0, 0),
+    kc = _kvh_chunk(KVH, L, d, 1 + 1 / group)
+    G, Hq = KVH // kc, kc * n_rep
+
+    def im(f):
+        return (lambda b, g, idx: f(b, g)) if indexed else f
+
+    def im_w(f):
+        return (lambda b, g, idx: (idx[0], *f(b, g))) if indexed else f
+
+    def wshape(shape):
+        return (None, *shape) if indexed else shape
+
+    spec_c = pl.BlockSpec(wshape((1, kc, L, d)),
+                          im_w(lambda b, g: (b, g, 0, 0)),
                           memory_space=pltpu.VMEM)
-    spec_e = pl.BlockSpec((1, KVH, L, d // group), lambda b: (b, 0, 0, 0),
+    spec_e = pl.BlockSpec(wshape((1, kc, L, d // group)),
+                          im_w(lambda b, g: (b, g, 0, 0)),
                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((B,), im(lambda b, g: (0,)), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, Hq, 1, d), im(lambda b, g: (b, g, 0, 0)),
+                     memory_space=pltpu.VMEM),
+        spec_c, spec_e, spec_c, spec_e,
+    ]
+    out_spec = pl.BlockSpec((1, Hq, 1, d), im(lambda b, g: (b, g, 0, 0)),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, H, 1, d), out_dtype)
+    cost = pl.CostEstimate(
+        flops=4 * B * H * L * d,
+        bytes_accessed=2 * B * KVH * L * (d + d // group),
+        transcendentals=B * H * L,
+    )
+    args = (positions.astype(jnp.int32), q, k_codes, k_exps, v_codes, v_exps)
+    if indexed:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, G),
+            in_specs=in_specs,
+            out_specs=out_spec,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(layer_index, jnp.int32).reshape(1), *args)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H, 1, d), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            spec_c, spec_e, spec_c, spec_e,
-        ],
-        out_specs=pl.BlockSpec((1, H, 1, d), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, 1, d), out_dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * L * d,
-            bytes_accessed=2 * B * KVH * L * (d + d // group),
-            transcendentals=B * H * L,
-        ),
+        grid=(B, G),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
         interpret=interpret,
-    )(positions.astype(jnp.int32), q, k_codes, k_exps, v_codes, v_exps)
+    )(*args)
 
 
 def supports_decode_attention(attn_cfg) -> bool:

@@ -162,7 +162,7 @@ def _use_attn_kernel(backend, s, attn_cfg, max_len, head_dim) -> bool:
 
 def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
                  positions, window, use_kernel, interpret=None,
-                 quant_slices=None):
+                 quant_slices=None, layer_index=None):
     """Decode attention: fused Pallas kernel (per-head cache-resident, all
     operand quantizations in-kernel) when eligible, else the eager path.
 
@@ -183,7 +183,8 @@ def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
                 qh, quant_slices["k_codes"], quant_slices["k_exps"],
                 quant_slices["v_codes"], quant_slices["v_exps"],
                 positions, scaling=scaling, scale_query=scale_query,
-                window=window, interpret=interpret, **widths,
+                window=window, interpret=interpret,
+                layer_index=layer_index, **widths,
             )
         return decode_attention(
             qh, k_l, v_l, positions, scaling=scaling,
@@ -193,13 +194,14 @@ def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
     return _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query)
 
 
-def _quant_slices(cache, layer, use_kernel):
-    """Post-update MXINT8 cache slices for the quantized-cache kernel, or
-    None (fp cache / kernel ineligible)."""
+def _quant_slices(cache, use_kernel):
+    """FULL layer-stacked MXINT8 cache arrays for the quantized-cache
+    kernel (the kernel selects the layer via scalar-prefetch layer_index —
+    slicing here would make XLA materialize a copy of the whole layer's
+    cache, the dominant decode stream), or None (fp cache / ineligible)."""
     if not use_kernel or not is_quantized_cache(cache):
         return None
-    return {k: cache[k][layer]
-            for k in ("k_codes", "k_exps", "v_codes", "v_exps")}
+    return {k: cache[k] for k in ("k_codes", "k_exps", "v_codes", "v_exps")}
 
 
 def model_step(
@@ -281,7 +283,8 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
         attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
                             n_rep, False, positions, window, use_ak, interpret,
-                            quant_slices=_quant_slices(cache, i, use_ak))
+                            quant_slices=_quant_slices(cache, use_ak),
+                            layer_index=jnp.asarray([i], jnp.int32))
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.o_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -349,7 +352,8 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
         attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
                             1, True, positions, None, use_ak, interpret,
-                            quant_slices=_quant_slices(cache, i, use_ak))
+                            quant_slices=_quant_slices(cache, use_ak),
+                            layer_index=jnp.asarray([i], jnp.int32))
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.out_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -512,6 +516,53 @@ def _scan_cache_update(cache_sl, kh, vh, positions, compute_dtype):
     return {"k": k_l, "v": v_l}, k_l, v_l
 
 
+def _cache_write_full(cache, li, kh, vh, positions):
+    """Write the new K/V entries for layer ``li`` (traced scalar) directly
+    into the FULL layer-stacked cache carried through the scan: per-slot
+    dynamic_update_slice of just the new rows. Replaces the xs→ys cache
+    threading, whose per-layer slices XLA materialized as whole-layer
+    copies when they fed a pallas kernel (cache is the dominant decode
+    stream — see dequant_gemm._fused_call for the root cause)."""
+    B = kh.shape[0]
+    if "k_codes" in cache:
+        from ..parallel.collectives import mx8_encode
+
+        group = cache["k_codes"].shape[-1] // cache["k_exps"].shape[-1]
+        k_c, k_e = mx8_encode(kh, group)
+        v_c, v_e = mx8_encode(vh, group)
+        news = {"k_codes": k_c, "k_exps": k_e, "v_codes": v_c, "v_exps": v_e}
+    else:
+        news = {"k": kh, "v": vh}
+    out = dict(cache)
+    zero = jnp.int32(0)
+    for key, new in news.items():
+        arr = out[key]
+        for b in range(B):
+            blk = new[b][None, None].astype(arr.dtype)  # (1,1,kvh,s,d')
+            arr = jax.lax.dynamic_update_slice(
+                arr, blk, (li, jnp.int32(b), zero, positions[b], zero))
+        out[key] = arr
+    return out
+
+
+def _cache_layer_views(cache, li):
+    """Decoded (k_l, v_l) bf16 views of layer ``li`` for the eager / fp
+    attention paths (the quantized-cache kernel never calls this — it reads
+    the stacked codes in place)."""
+    take = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+        a, li, 0, keepdims=False)
+    if "k_codes" in cache:
+        from ..parallel.collectives import mx8_decode
+
+        group = cache["k_codes"].shape[-1] // cache["k_exps"].shape[-1]
+        k_l = mx8_decode(take(cache["k_codes"]), take(cache["k_exps"]),
+                         group, jnp.bfloat16)
+        v_l = mx8_decode(take(cache["v_codes"]), take(cache["v_exps"]),
+                         group, jnp.bfloat16)
+        return k_l, v_l
+    return take(cache["k"]), take(cache["v"])
+
+
 def _cache_max_len(cache: dict) -> int:
     return (cache["k_codes"] if is_quantized_cache(cache)
             else cache["k"]).shape[3]
@@ -541,18 +592,16 @@ def _scan_segments(make_body, segments, h, stacked, cache, num_layers):
     idxs = jnp.arange(num_layers, dtype=jnp.int32)[:, None]
     if len(segments) == 1:
         _, _, q = segments[0]
-        return jax.lax.scan(make_body(q), h, (stacked, cache, idxs))
+        (h, cache), _ = jax.lax.scan(make_body(q), (h, cache),
+                                     (stacked, idxs))
+        return h, cache
 
     def sl(tree, s, e):
         return jax.tree_util.tree_map(lambda a: a[s:e], tree)
 
-    parts = []
     for s, e, q in segments:
-        xs = (sl(stacked, s, e), sl(cache, s, e), idxs[s:e])
-        h, cache_part = jax.lax.scan(make_body(q), h, xs)
-        parts.append(cache_part)
-    cache = jax.tree_util.tree_map(
-        lambda *ps: jnp.concatenate(ps, axis=0), *parts)
+        (h, cache), _ = jax.lax.scan(make_body(q), (h, cache),
+                                     (sl(stacked, s, e), idxs[s:e]))
     return h, cache
 
 
@@ -607,8 +656,9 @@ def llama_step_scan(
         use_ak = _use_attn_kernel(backend_stacked, s, attn_cfg, max_len,
                                   cfg.head_dim)
 
-        def body(h, xs):
-            sl, cache_sl, li = xs
+        def body(carry, xs):
+            h, cache = carry
+            sl, li = xs
             residual = h
             hn = rms_norm(h, rel_mod(sl, "input_layernorm"), cfg.rms_norm_eps)
             qy, ky, vy = _lin_group_slice(
@@ -625,14 +675,17 @@ def llama_step_scan(
                 kh = kh * kv_valid[:, None, :, None]
                 vh = vh * kv_valid[:, None, :, None]
 
-            new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
-                                                  h.dtype)
-
-            qsl = (new_sl if use_ak and "k_codes" in new_sl else None)
+            cache = _cache_write_full(cache, li[0], kh, vh, positions)
+            use_qk = use_ak and "k_codes" in cache
+            if use_qk:
+                k_l = v_l = None  # kernel reads the stacked codes in place
+            else:
+                k_l, v_l = _cache_layer_views(cache, li[0])
             attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg,
                                 cfg.head_dim**-0.5, n_rep, False, positions,
                                 getattr(cfg, "sliding_window", None), use_ak,
-                                quant_slices=qsl)
+                                quant_slices=_quant_slices(cache, use_qk),
+                                layer_index=li)
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.o_proj",
                               attn_cfg.o_proj, b_meta, b_arrays,
                               layer_index=li)
@@ -655,7 +708,7 @@ def llama_step_scan(
                                "mlp.down_proj", q["down_proj"], b_meta,
                                b_arrays, layer_index=li)
             h = residual + y
-            return h, new_sl
+            return (h, cache), None
 
         return body
 
@@ -713,8 +766,9 @@ def opt_step_scan(
         use_ak = _use_attn_kernel(backend_stacked, s, attn_cfg, max_len,
                                   cfg.head_dim)
 
-        def body(h, xs):
-            sl, cache_sl, li = xs
+        def body(carry, xs):
+            h, cache = carry
+            sl, li = xs
             residual = h
             hn = layer_norm(h, rel_mod(sl, "self_attn_layer_norm")) \
                 if cfg.do_layer_norm_before else h
@@ -731,12 +785,16 @@ def opt_step_scan(
                 kh = kh * kv_valid[:, None, :, None]
                 vh = vh * kv_valid[:, None, :, None]
 
-            new_sl, k_l, v_l = _scan_cache_update(cache_sl, kh, vh, positions,
-                                                  h.dtype)
-            qsl = (new_sl if use_ak and "k_codes" in new_sl else None)
+            cache = _cache_write_full(cache, li[0], kh, vh, positions)
+            use_qk = use_ak and "k_codes" in cache
+            if use_qk:
+                k_l = v_l = None
+            else:
+                k_l, v_l = _cache_layer_views(cache, li[0])
             attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg,
                                 cfg.head_dim**-0.5, 1, True, positions, None,
-                                use_ak, quant_slices=qsl)
+                                use_ak, quant_slices=_quant_slices(cache, use_qk),
+                                layer_index=li)
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.out_proj",
                               attn_cfg.o_proj, b_meta, b_arrays,
                               layer_index=li)
@@ -759,7 +817,7 @@ def opt_step_scan(
             h = residual + y
             if not cfg.do_layer_norm_before:
                 h = layer_norm(h, rel_mod(sl, "final_layer_norm"))
-            return h, new_sl
+            return (h, cache), None
 
         return body
 

@@ -165,6 +165,70 @@ class TestDecodeAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6, rtol=1e-6)
 
+    def test_layer_indexed_cache_matches_sliced(self):
+        """Scalar-prefetch layer indexing over a layer-stacked quantized
+        cache must equal per-layer sliced calls exactly (the scan decode
+        path's no-copy cache read)."""
+        from lqer_tpu.ops.pallas.decode_attention import (
+            decode_attention_quantized, decode_attention_widths,
+        )
+        from lqer_tpu.parallel.collectives import mx8_encode
+
+        NL = 3
+        stacks = {k: [] for k in ("k_codes", "k_exps", "v_codes", "v_exps")}
+        per_layer = []
+        for i in range(NL):
+            q, k, v, pos = self._mk(seed=20 + i)
+            k_c, k_e = mx8_encode(k, 16)
+            v_c, v_e = mx8_encode(v, 16)
+            per_layer.append((q, k_c, k_e, v_c, v_e, pos))
+            for key, arr in zip(stacks, (k_c, k_e, v_c, v_e)):
+                stacks[key].append(arr)
+        stacked = {k: jnp.stack(v) for k, v in stacks.items()}
+        _, qcfg = self._eager(*self._mk(seed=20)[:3], self._mk(seed=20)[3])
+        widths = decode_attention_widths(qcfg)
+        for i, (q, k_c, k_e, v_c, v_e, pos) in enumerate(per_layer):
+            ref = decode_attention_quantized(
+                q, k_c, k_e, v_c, v_e, pos, scaling=q.shape[-1]**-0.5,
+                interpret=True, **widths)
+            got = decode_attention_quantized(
+                q, stacked["k_codes"], stacked["k_exps"],
+                stacked["v_codes"], stacked["v_exps"], pos,
+                scaling=q.shape[-1]**-0.5, interpret=True,
+                layer_index=jnp.asarray([i], jnp.int32), **widths)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_head_chunked_grid_matches(self, monkeypatch):
+        """A VMEM budget too small for all KV heads must split the head dim
+        across grid programs (kvh chunking) without changing results — the
+        long-context (2048 x 32-head) configuration depends on this."""
+        from lqer_tpu.ops.pallas import decode_attention as da
+        from lqer_tpu.parallel.collectives import mx8_encode
+
+        q, k, v, pos = self._mk(b=2, h=8, kvh=4, L=64, d=32, seed=9)
+        k_c, k_e = mx8_encode(k, 16)
+        v_c, v_e = mx8_encode(v, 16)
+        _, qcfg = self._eager(q, k, v, pos)
+        widths = da.decode_attention_widths(qcfg)
+        ref = da.decode_attention_quantized(
+            q, k_c, k_e, v_c, v_e, pos, scaling=q.shape[-1]**-0.5,
+            interpret=True, **widths)
+        orig = da._kvh_chunk
+        monkeypatch.setattr(
+            da, "_kvh_chunk",
+            lambda KVH, L, d, b, budget=0: orig(KVH, L, d, b,
+                                                budget=int(2 * L * d * 4)))
+        assert da._kvh_chunk(4, 64, 32, 1.0625) < 4  # split actually engages
+        da.decode_attention_quantized.clear_cache()  # retrace with the split
+        try:
+            got = da.decode_attention_quantized(
+                q, k_c, k_e, v_c, v_e, pos, scaling=q.shape[-1]**-0.5,
+                interpret=True, **widths)
+        finally:
+            monkeypatch.undo()
+            da.decode_attention_quantized.clear_cache()
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_quantized_cache_matches_eager_on_decoded(self):
         """The quantized-cache kernel (in-VMEM MXINT8 decode) must equal the
         eager path fed the DECODED cache — the exact computation

@@ -250,10 +250,12 @@ def _kernel_quantized_body(pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref,
         ok = jnp.logical_and(ok, kv_idx > pos - window)
 
     def decode_t(c_ref, e_ref, kv):
-        """codes (L, d) + exps (L, d/g) → decoded (d, L): d-groups land on
-        sublanes after the transpose (Mosaic can't reshape lane groups)."""
+        """codes (L, d) + exps stored transposed (d/g, L) → decoded (d, L):
+        d-groups land on sublanes after the codes transpose (Mosaic can't
+        reshape lane groups); the exps arrive pre-transposed from the cache
+        (see kv_cache.init_quantized_kv_cache)."""
         c = c_ref[0, kv].astype(jnp.float32).T       # (d, L)
-        e = e_ref[0, kv].astype(jnp.float32).T       # (d/g, L)
+        e = e_ref[0, kv].astype(jnp.float32)         # (d/g, L)
         scale = jnp.exp2(e - cache_mb)
         return (c.reshape(d // group, group, L) * scale[:, None, :]
                 ).reshape(d, L)
@@ -298,7 +300,7 @@ def _kernel_quantized_body(pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref,
 def decode_attention_quantized(
     q: jnp.ndarray,          # (B, H, 1, d) RAW queries (rope applied)
     k_codes: jnp.ndarray,    # (B, KVH, L, d) int8 — or (NL, B, KVH, L, d)
-    k_exps: jnp.ndarray,     # (B, KVH, L, d/16) int8    with layer_index
+    k_exps: jnp.ndarray,     # (B, KVH, d/16, L) int8    with layer_index
     v_codes: jnp.ndarray,
     v_exps: jnp.ndarray,
     positions: jnp.ndarray,  # (B,) int32
@@ -333,8 +335,10 @@ def decode_attention_quantized(
         "layer_index requires layer-stacked cache operands", k_codes.shape)
     KVH, L = k_codes.shape[-3], k_codes.shape[-2]
     n_rep = H // KVH
-    cache_group = d // k_exps.shape[-1]
+    # exps arrive transposed: (..., d/group, L) — see init_quantized_kv_cache
+    cache_group = d // k_exps.shape[-2]
     assert cache_group == group, (cache_group, group)
+    assert k_exps.shape[-1] == L, (k_exps.shape, L)
     assert L % group == 0 and d % group == 0, (L, d, group)
 
     kernel = functools.partial(
@@ -361,7 +365,7 @@ def decode_attention_quantized(
     spec_c = pl.BlockSpec(wshape((1, kc, L, d)),
                           im_w(lambda b, g: (b, g, 0, 0)),
                           memory_space=pltpu.VMEM)
-    spec_e = pl.BlockSpec(wshape((1, kc, L, d // group)),
+    spec_e = pl.BlockSpec(wshape((1, kc, d // group, L)),
                           im_w(lambda b, g: (b, g, 0, 0)),
                           memory_space=pltpu.VMEM)
     in_specs = [

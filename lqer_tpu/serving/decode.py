@@ -497,19 +497,29 @@ def _scan_cache_update(cache_sl, kh, vh, positions, compute_dtype):
 
     if "k_codes" in cache_sl:
         from ..parallel.collectives import mx8_decode, mx8_encode
+        from .kv_cache import cache_group
 
-        group = cache_sl["k_codes"].shape[-1] // cache_sl["k_exps"].shape[-1]
+        def upd_e(c, n, p):  # exps transposed: token axis is last
+            return jax.lax.dynamic_update_slice(c, n, (0, 0, p))
+
+        group = cache_group(cache_sl)
         k_c, k_e = mx8_encode(kh, group)
         v_c, v_e = mx8_encode(vh, group)
         new = {
             "k_codes": jax.vmap(upd)(cache_sl["k_codes"], k_c, positions),
-            "k_exps": jax.vmap(upd)(cache_sl["k_exps"], k_e, positions),
+            "k_exps": jax.vmap(upd_e)(cache_sl["k_exps"],
+                                      jnp.swapaxes(k_e, -1, -2), positions),
             "v_codes": jax.vmap(upd)(cache_sl["v_codes"], v_c, positions),
-            "v_exps": jax.vmap(upd)(cache_sl["v_exps"], v_e, positions),
+            "v_exps": jax.vmap(upd_e)(cache_sl["v_exps"],
+                                      jnp.swapaxes(v_e, -1, -2), positions),
         }
         del compute_dtype  # MXINT8 is exact in bf16 (see _cache_update)
-        k_l = mx8_decode(new["k_codes"], new["k_exps"], group, jnp.bfloat16)
-        v_l = mx8_decode(new["v_codes"], new["v_exps"], group, jnp.bfloat16)
+        k_l = mx8_decode(new["k_codes"],
+                         jnp.swapaxes(new["k_exps"], -1, -2), group,
+                         jnp.bfloat16)
+        v_l = mx8_decode(new["v_codes"],
+                         jnp.swapaxes(new["v_exps"], -1, -2), group,
+                         jnp.bfloat16)
         return new, k_l, v_l
     k_l = jax.vmap(upd)(cache_sl["k"], kh, positions)
     v_l = jax.vmap(upd)(cache_sl["v"], vh, positions)
@@ -526,21 +536,46 @@ def _cache_write_full(cache, li, kh, vh, positions):
     B = kh.shape[0]
     if "k_codes" in cache:
         from ..parallel.collectives import mx8_encode
+        from .kv_cache import cache_group
 
-        group = cache["k_codes"].shape[-1] // cache["k_exps"].shape[-1]
+        group = cache_group(cache)
         k_c, k_e = mx8_encode(kh, group)
         v_c, v_e = mx8_encode(vh, group)
-        news = {"k_codes": k_c, "k_exps": k_e, "v_codes": v_c, "v_exps": v_e}
+        # exps stored transposed: token axis last (see init_quantized_kv_cache)
+        news = {"k_codes": k_c, "k_exps": jnp.swapaxes(k_e, -1, -2),
+                "v_codes": v_c, "v_exps": jnp.swapaxes(v_e, -1, -2)}
     else:
         news = {"k": kh, "v": vh}
+    s = kh.shape[2]
+
+    def tok_dim(key):  # cache dim holding the token axis
+        return 4 if key.endswith("_exps") else 3
+
+    aligned = all(
+        cache[k].shape[tok_dim(k)] % (128 if k.endswith("_exps") else 32) == 0
+        for k in news
+    )
+    if s == 1 and aligned:
+        # one aliased in-place Pallas write per layer — the DUS chain below
+        # costs ~0.84 ms/layer on real HW (see ops/pallas/cache_write.py)
+        from ..ops.pallas.cache_write import write_kv_rows_stacked
+
+        keys = sorted(news)
+        updated = write_kv_rows_stacked(
+            tuple(cache[k] for k in keys), tuple(news[k] for k in keys),
+            li, positions)
+        out = dict(cache)
+        out.update(dict(zip(keys, updated)))
+        return out
     out = dict(cache)
     zero = jnp.int32(0)
     for key, new in news.items():
         arr = out[key]
         for b in range(B):
-            blk = new[b][None, None].astype(arr.dtype)  # (1,1,kvh,s,d')
-            arr = jax.lax.dynamic_update_slice(
-                arr, blk, (li, jnp.int32(b), zero, positions[b], zero))
+            blk = new[b][None, None].astype(arr.dtype)  # (1,1,kvh,·,·)
+            start = [li, jnp.int32(b), zero, zero, zero]
+            start[tok_dim(key)] = positions[b]
+            arr = jax.lax.dynamic_update_slice(arr, blk, tuple(start))
         out[key] = arr
     return out
 
@@ -553,11 +588,14 @@ def _cache_layer_views(cache, li):
         a, li, 0, keepdims=False)
     if "k_codes" in cache:
         from ..parallel.collectives import mx8_decode
+        from .kv_cache import cache_group
 
-        group = cache["k_codes"].shape[-1] // cache["k_exps"].shape[-1]
-        k_l = mx8_decode(take(cache["k_codes"]), take(cache["k_exps"]),
+        group = cache_group(cache)
+        k_l = mx8_decode(take(cache["k_codes"]),
+                         jnp.swapaxes(take(cache["k_exps"]), -1, -2),
                          group, jnp.bfloat16)
-        v_l = mx8_decode(take(cache["v_codes"]), take(cache["v_exps"]),
+        v_l = mx8_decode(take(cache["v_codes"]),
+                         jnp.swapaxes(take(cache["v_exps"]), -1, -2),
                          group, jnp.bfloat16)
         return k_l, v_l
     return take(cache["k"]), take(cache["v"])

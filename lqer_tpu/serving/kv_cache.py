@@ -98,13 +98,26 @@ def init_quantized_kv_cache(
     """
     assert head_dim % group == 0, (head_dim, group)
     shape_c = (num_layers, batch, kv_heads, max_len, head_dim)
-    shape_e = (num_layers, batch, kv_heads, max_len, head_dim // group)
+    # exponents are stored TRANSPOSED — (d/group, max_len) per head — so the
+    # minor dim is the long token axis: with the natural (max_len, d/group)
+    # orientation the 8-wide minor dim makes XLA prefer a swapped-minor-dims
+    # layout while Pallas requires the default one, and every kernel call in
+    # the decode scan paid two ~33 MB layout-conversion copies per exps array
+    # (~160 us/layer, measured via bench_attention_probe `write`). The
+    # transposed layout is also what the attention kernel consumes directly.
+    shape_e = (num_layers, batch, kv_heads, head_dim // group, max_len)
     z8 = jnp.zeros(shape_c, jnp.int8)
     ze = jnp.zeros(shape_e, jnp.int8)
     # group size is derivable from the shapes (codes dim / exps dim), so the
     # cache stays a pure array pytree (ints would become traced under jit)
     return {"k_codes": z8, "k_exps": ze,
             "v_codes": jnp.zeros_like(z8), "v_exps": jnp.zeros_like(ze)}
+
+
+def cache_group(cache: dict) -> int:
+    """Quantization group of a quantized cache: codes (…, L, d) vs exps
+    stored transposed (…, d/group, L)."""
+    return cache["k_codes"].shape[-1] // cache["k_exps"].shape[-2]
 
 
 def is_quantized_cache(cache: dict) -> bool:
@@ -123,17 +136,22 @@ def update_layer_cache_quantized(
     post-update layer views (b, kv_heads, max_len, d)."""
     from ..parallel.collectives import mx8_decode, mx8_encode
 
-    group = cache["k_codes"].shape[-1] // cache["k_exps"].shape[-1]
+    group = cache_group(cache)
     k_c, k_e = mx8_encode(k_new, group)
     v_c, v_e = mx8_encode(v_new, group)
 
     def upd(c, n, p):
         return jax.lax.dynamic_update_slice(c, n, (0, p, 0))
 
+    def upd_e(c, n, p):  # exps transposed: token axis is last
+        return jax.lax.dynamic_update_slice(c, n, (0, 0, p))
+
     kc_l = jax.vmap(upd)(cache["k_codes"][layer], k_c, positions)
-    ke_l = jax.vmap(upd)(cache["k_exps"][layer], k_e, positions)
+    ke_l = jax.vmap(upd_e)(cache["k_exps"][layer],
+                           jnp.swapaxes(k_e, -1, -2), positions)
     vc_l = jax.vmap(upd)(cache["v_codes"][layer], v_c, positions)
-    ve_l = jax.vmap(upd)(cache["v_exps"][layer], v_e, positions)
+    ve_l = jax.vmap(upd_e)(cache["v_exps"][layer],
+                           jnp.swapaxes(v_e, -1, -2), positions)
     cache = {
         **cache,
         "k_codes": cache["k_codes"].at[layer].set(kc_l),
@@ -141,6 +159,6 @@ def update_layer_cache_quantized(
         "v_codes": cache["v_codes"].at[layer].set(vc_l),
         "v_exps": cache["v_exps"].at[layer].set(ve_l),
     }
-    k_l = mx8_decode(kc_l, ke_l, group, compute_dtype)
-    v_l = mx8_decode(vc_l, ve_l, group, compute_dtype)
+    k_l = mx8_decode(kc_l, jnp.swapaxes(ke_l, -1, -2), group, compute_dtype)
+    v_l = mx8_decode(vc_l, jnp.swapaxes(ve_l, -1, -2), group, compute_dtype)
     return cache, k_l, v_l

@@ -13,6 +13,14 @@ from lqer_tpu.ops import block_fp_quantizer
 from lqer_tpu.ops.pallas.attention import quantized_attention
 
 
+def _enc_t(x, g=16):
+    """mx8_encode with the cache's transposed exps layout (token axis last,
+    kv_cache.init_quantized_kv_cache)."""
+    from lqer_tpu.parallel.collectives import mx8_encode
+    c, e = mx8_encode(x, g)
+    return c, jnp.swapaxes(e, -1, -2)
+
+
 def _aq(x):
     """activation quantizer: per (row, 16-group along last dim)."""
     return block_fp_quantizer(
@@ -179,8 +187,8 @@ class TestDecodeAttention:
         per_layer = []
         for i in range(NL):
             q, k, v, pos = self._mk(seed=20 + i)
-            k_c, k_e = mx8_encode(k, 16)
-            v_c, v_e = mx8_encode(v, 16)
+            k_c, k_e = _enc_t(k)
+            v_c, v_e = _enc_t(v)
             per_layer.append((q, k_c, k_e, v_c, v_e, pos))
             for key, arr in zip(stacks, (k_c, k_e, v_c, v_e)):
                 stacks[key].append(arr)
@@ -206,8 +214,8 @@ class TestDecodeAttention:
         from lqer_tpu.parallel.collectives import mx8_encode
 
         q, k, v, pos = self._mk(b=2, h=8, kvh=4, L=64, d=32, seed=9)
-        k_c, k_e = mx8_encode(k, 16)
-        v_c, v_e = mx8_encode(v, 16)
+        k_c, k_e = _enc_t(k)
+        v_c, v_e = _enc_t(v)
         _, qcfg = self._eager(q, k, v, pos)
         widths = da.decode_attention_widths(qcfg)
         ref = da.decode_attention_quantized(
@@ -245,7 +253,9 @@ class TestDecodeAttention:
         v_dec = mx8_decode(v_c, v_e, 16, jnp.float32)
         ref, qcfg = self._eager(q, k_dec, v_dec, pos)
         out = decode_attention_quantized(
-            q, k_c, k_e, v_c, v_e, pos, scaling=q.shape[-1]**-0.5,
+            q, k_c, jnp.swapaxes(k_e, -1, -2),
+            v_c, jnp.swapaxes(v_e, -1, -2), pos,
+            scaling=q.shape[-1]**-0.5,
             interpret=True, **decode_attention_widths(qcfg),
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

@@ -64,12 +64,15 @@ def _quantize_sublane_groups_signed(x, mb, group):
     return q.reshape(L, C)
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scaling, scale_query,
-            window, group, q_mb, k_mb, p_mb, v_mb, n_rep):
+def _kernel(*refs, scaling, scale_query, window, group, q_mb, k_mb, p_mb,
+            v_mb, n_rep, drop_scalar=False):
     """One grid program = one SLOT: every head of the slot is processed in
     a static Python loop over KV heads (n_rep query heads each), so the
     per-program pipeline overhead amortizes over the whole slot and each KV
     head streams from HBM exactly once."""
+    if drop_scalar:  # scalar-prefetch layer index consumed by the BlockSpecs
+        refs = refs[1:]
+    pos_ref, q_ref, k_ref, v_ref, o_ref = refs
     pos = pos_ref[pl.program_id(0)]
     qs = q_ref[0, :, 0, :].astype(jnp.float32)      # (H, d)
     H, d = qs.shape
@@ -133,8 +136,8 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scaling, scale_query,
 )
 def decode_attention(
     q: jnp.ndarray,          # (B, H, 1, d) RAW queries (rope applied)
-    k_cache: jnp.ndarray,    # (B, KVH, L, d) cache (any fp dtype)
-    v_cache: jnp.ndarray,    # (B, KVH, L, d)
+    k_cache: jnp.ndarray,    # (B, KVH, L, d) — or (NL, B, KVH, L, d)
+    v_cache: jnp.ndarray,    #                   with layer_index
     positions: jnp.ndarray,  # (B,) int32 absolute position of the query
     *,
     scaling: float,
@@ -147,14 +150,21 @@ def decode_attention(
     v_width: int | None = 8,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
+    layer_index=None,
 ) -> jnp.ndarray:
-    """Fused decode attention; returns (B, H, 1, d)."""
+    """Fused decode attention over an fp (bf16/f32) cache; returns
+    (B, H, 1, d). ``layer_index``: scalar int32 selecting the layer when the
+    cache arrays carry a leading layer dim — same no-copy scalar-prefetch
+    read as `decode_attention_quantized` (scan bodies must use it; a sliced
+    cache operand makes XLA materialize the whole layer slice)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, S, d = q.shape
     assert S == 1, S
-    KVH = k_cache.shape[1]
-    L = k_cache.shape[2]
+    indexed = layer_index is not None
+    assert k_cache.ndim == (5 if indexed else 4), (
+        "layer_index requires layer-stacked cache operands", k_cache.shape)
+    KVH, L = k_cache.shape[-3], k_cache.shape[-2]
     n_rep = H // KVH
     assert L % group == 0, (L, group)
     kc = _kvh_chunk(KVH, L, d, k_cache.dtype.itemsize)
@@ -167,29 +177,59 @@ def decode_attention(
         k_mb=None if k_width is None else k_width - 1,
         p_mb=None if p_width is None else p_width - 1,
         v_mb=None if v_width is None else v_width - 1,
+        drop_scalar=indexed,
     )
+
+    def im(f):
+        return (lambda b, g, idx: f(b, g)) if indexed else f
+
+    def im_w(f):
+        return (lambda b, g, idx: (idx[0], *f(b, g))) if indexed else f
+
+    def wshape(shape):
+        return (None, *shape) if indexed else shape
+
+    spec_kv = pl.BlockSpec(wshape((1, kc, L, d)),
+                           im_w(lambda b, g: (b, g, 0, 0)),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((B,), im(lambda b, g: (0,)), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, Hq, 1, d), im(lambda b, g: (b, g, 0, 0)),
+                     memory_space=pltpu.VMEM),
+        spec_kv, spec_kv,
+    ]
+    out_spec = pl.BlockSpec((1, Hq, 1, d), im(lambda b, g: (b, g, 0, 0)),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, H, 1, d), out_dtype)
+    cost = pl.CostEstimate(
+        flops=4 * B * H * L * d,
+        bytes_accessed=2 * B * KVH * L * d * k_cache.dtype.itemsize,
+        transcendentals=B * H * L,
+    )
+    args = (positions.astype(jnp.int32), q, k_cache, v_cache)
+    if indexed:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, G),
+            in_specs=in_specs,
+            out_specs=out_spec,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(layer_index, jnp.int32).reshape(1), *args)
     return pl.pallas_call(
         kernel,
         grid=(B, G),
-        in_specs=[
-            pl.BlockSpec((B,), lambda b, g: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Hq, 1, d), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kc, L, d), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kc, L, d), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Hq, 1, d), lambda b, g: (b, g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, 1, d), out_dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * L * d,
-            bytes_accessed=2 * B * KVH * L * d * k_cache.dtype.itemsize,
-            transcendentals=B * H * L,
-        ),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
         interpret=interpret,
-    )(positions.astype(jnp.int32), q, k_cache, v_cache)
+    )(*args)
 
 
 def _kvh_chunk(KVH: int, L: int, d: int, bytes_per_val: float,
@@ -208,35 +248,44 @@ def _kvh_chunk(KVH: int, L: int, d: int, bytes_per_val: float,
     return chunk
 
 
-def _kernel_quantized(*refs, scaling, scale_query, window, group, q_mb, k_mb,
-                      p_mb, v_mb, n_rep, cache_mb, drop_scalar=False):
+def _kernel_quantized(*refs, scaling, scale_query, window, group, q_mb,
+                      p_mb, n_rep, cache_mb, dot_dtype, drop_scalar=False):
     if drop_scalar:  # scalar-prefetch layer index consumed by the BlockSpecs
         refs = refs[1:]
     pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref, o_ref = refs
     return _kernel_quantized_body(
         pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref, o_ref,
         scaling=scaling, scale_query=scale_query, window=window, group=group,
-        q_mb=q_mb, k_mb=k_mb, p_mb=p_mb, v_mb=v_mb, n_rep=n_rep,
-        cache_mb=cache_mb,
+        q_mb=q_mb, p_mb=p_mb, n_rep=n_rep, cache_mb=cache_mb,
+        dot_dtype=dot_dtype,
     )
 
 
 def _kernel_quantized_body(pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref,
                            o_ref, *, scaling, scale_query, window, group,
-                           q_mb, k_mb, p_mb, v_mb, n_rep, cache_mb):
-    """Quantized-cache variant: K/V arrive as MXINT8 codes + per-16-wide
-    d-group exponents (`serving.kv_cache.init_quantized_kv_cache`) and decode
-    IN VMEM — the HBM stream is 8.5 bits/value instead of 16/32, and the
-    whole-cache decode the eager path materializes through XLA disappears.
-    Use-time quantizations then match the eager path exactly: K re-quantizes
-    per 16-token group for QK^T; V's cache format IS the P·V operand format
-    (d-groups), and the eager path still applies its v_quantizer on the
-    decoded values, so the same re-quantization runs here (idempotent except
-    for block_fp's documented saturation corner)."""
+                           q_mb, p_mb, n_rep, cache_mb, dot_dtype):
+    """Quantized-cache variant: K/V arrive as MXINT8 codes stored TRANSPOSED
+    (d, L) + per-16-wide d-group exponents (d/g, L)
+    (`serving.kv_cache.init_quantized_kv_cache`) and decode IN VMEM — the
+    HBM stream is 8.5 bits/value instead of 16/32.
+
+    Quantize-once-at-write semantics (round 4): the cache's MXINT8 format IS
+    the QK^T / P·V operand format — the stored values enter the dots
+    directly, with no use-time K/V re-quantization (the eager quantized-cache
+    path skips its k/v-side operand quantizers identically; see
+    `serving.decode._attend`). Only q and the softmax probs are quantized
+    in-kernel (activation format, groups along the contraction axis).
+    Round-3's kernel reproduced the double quantization (cache format, then
+    use-time token-group requantize) and burned ~5 full-cache VPU passes +
+    two full-cache transposes per head on it — ~80 ms of the 98 ms decode
+    step (BENCH_r03, VERDICT round 3). The transposed layout makes the
+    decode a single sublane-broadcast multiply; everything else is
+    small-plane work.
+    """
     pos = pos_ref[pl.program_id(0)]
-    qs = q_ref[0, :, 0, :].astype(jnp.float32)      # (H, d)
+    qs = q_ref[0, :, 0, :].astype(jnp.float32)      # (H_blk, d)
     H, d = qs.shape
-    L = kc_ref.shape[2]
+    L = kc_ref.shape[3]
     kvh = kc_ref.shape[1]
 
     if scale_query:
@@ -244,47 +293,63 @@ def _kernel_quantized_body(pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref,
     if q_mb is not None:
         qs = _quantize_sublane_groups_signed(qs.T, q_mb, group).T
 
-    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     ok = kv_idx <= pos
     if window is not None:
         ok = jnp.logical_and(ok, kv_idx > pos - window)
 
     def decode_t(c_ref, e_ref, kv):
-        """codes (L, d) + exps stored transposed (d/g, L) → decoded (d, L):
-        d-groups land on sublanes after the codes transpose (Mosaic can't
-        reshape lane groups); the exps arrive pre-transposed from the cache
-        (see kv_cache.init_quantized_kv_cache)."""
-        c = c_ref[0, kv].astype(jnp.float32).T       # (d, L)
+        """codes (d, L) + exps (d/g, L) → decoded (d, L) f32: the d-groups
+        lie on sublanes in the stored layout, so the whole decode is one
+        sublane-split reshape + broadcast multiply (no transposes). f32
+        multiply then bf16 cast matches `collectives.mx8_decode` bit-for-bit
+        (including the extreme-denormal corner a bf16-domain multiply would
+        flush differently)."""
+        c = c_ref[0, kv].astype(jnp.float32)         # (d, L)
         e = e_ref[0, kv].astype(jnp.float32)         # (d/g, L)
         scale = jnp.exp2(e - cache_mb)
         return (c.reshape(d // group, group, L) * scale[:, None, :]
-                ).reshape(d, L)
+                ).reshape(d, L).astype(dot_dtype)
 
+    # ---- phase 1: all heads' scores ----------------------------------
+    # Per-head MXU matvecs, but softmax/probs-quantize batched over the
+    # whole chunk: per-head those ops ran on (L, n_rep≈1) planes at 1/128
+    # lane utilization and cost more than the cache decode itself
+    # (0.53 of 0.98 ms/layer, bench_attention_probe round 4).
+    rows = []
+    for kv in range(kvh):
+        ktd = decode_t(kc_ref, ke_ref, kv)           # (d, L)
+        q_kv = qs[kv * n_rep:(kv + 1) * n_rep]       # (n_rep, d) f32
+        # scores (n_rep, L): bf16 operands on TPU (both 8-bit-mantissa grids,
+        # exact in bf16 — identical products), f32 accumulation on the MXU.
+        # dot_dtype is f32 under the CPU interpreter (DotThunk lacks small
+        # bf16 dots).
+        rows.append(jax.lax.dot_general(
+            q_kv.astype(dot_dtype), ktd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    s = rows[0] if kvh == 1 else jnp.concatenate(rows, axis=0)  # (H_blk, L)
+    if not scale_query:
+        s = s * scaling
+    s = jnp.where(ok, s, -jnp.inf)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)        # (H_blk, L) f32
+    # probs quantize per 16-token group — groups must lie on sublanes
+    # (Mosaic can't reshape lane groups), so the small (H_blk, L) plane
+    # transposes; the full-cache operands never do.
+    p_t = p.T                                        # (L, H_blk)
+    if p_mb is not None:
+        p_t = _quantize_sublane_groups(p_t, p_mb, group)
+    p_t = p_t.astype(dot_dtype)
+
+    # ---- phase 2: P·V per head ----------------------------------------
     outs = []
     for kv in range(kvh):
-        kt = decode_t(kc_ref, ke_ref, kv)            # (d, L)
-        vt = decode_t(vc_ref, ve_ref, kv)            # (d, L)
-        q_kv = qs[kv * n_rep:(kv + 1) * n_rep]       # (n_rep, d)
-        k = kt.T                                     # (L, d)
-        if k_mb is not None:
-            k = _quantize_sublane_groups_signed(k, k_mb, group)
-        s_t = jax.lax.dot_general(
-            k, q_kv,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if not scale_query:
-            s_t = s_t * scaling
-        s_t = jnp.where(ok, s_t, -jnp.inf)
-
-        m = jnp.max(s_t, axis=0, keepdims=True)
-        p = jnp.exp(s_t - m)
-        p = p / jnp.sum(p, axis=0, keepdims=True)
-        if p_mb is not None:
-            p = _quantize_sublane_groups(p, p_mb, group)
-        if v_mb is not None:
-            vt = _quantize_sublane_groups_signed(vt, v_mb, group)
-        o_t = jnp.dot(vt, p, preferred_element_type=jnp.float32)
+        vtd = decode_t(vc_ref, ve_ref, kv)           # (d, L)
+        o_t = jnp.dot(vtd, p_t[:, kv * n_rep:(kv + 1) * n_rep],
+                      preferred_element_type=jnp.float32)   # (d, n_rep)
         outs.append(o_t.T)
 
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -294,12 +359,11 @@ def _kernel_quantized_body(pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("scaling", "scale_query", "window", "group",
-                     "q_width", "k_width", "p_width", "v_width",
-                     "out_dtype", "interpret"),
+                     "q_width", "p_width", "out_dtype", "interpret"),
 )
 def decode_attention_quantized(
     q: jnp.ndarray,          # (B, H, 1, d) RAW queries (rope applied)
-    k_codes: jnp.ndarray,    # (B, KVH, L, d) int8 — or (NL, B, KVH, L, d)
+    k_codes: jnp.ndarray,    # (B, KVH, d, L) int8 — or (NL, B, KVH, d, L)
     k_exps: jnp.ndarray,     # (B, KVH, d/16, L) int8    with layer_index
     v_codes: jnp.ndarray,
     v_exps: jnp.ndarray,
@@ -310,14 +374,16 @@ def decode_attention_quantized(
     window: int | None = None,
     group: int = 16,
     q_width: int | None = 8,
-    k_width: int | None = 8,
     p_width: int | None = 8,
-    v_width: int | None = 8,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
     layer_index=None,
 ) -> jnp.ndarray:
-    """Fused decode attention over the MXINT8-quantized KV cache.
+    """Fused decode attention over the MXINT8-quantized KV cache (codes
+    stored transposed — token axis LAST — see
+    `kv_cache.init_quantized_kv_cache`). Quantize-once-at-write: the stored
+    MXINT8 values ARE the QK^T/P·V operands (no k/v use-time widths — the
+    cache format fixes them at 8).
 
     ``layer_index``: scalar int32 selecting the layer when the cache arrays
     carry a leading layer dim — the kernel then reads the FULL stacked cache
@@ -333,9 +399,10 @@ def decode_attention_quantized(
     indexed = layer_index is not None
     assert k_codes.ndim == (5 if indexed else 4), (
         "layer_index requires layer-stacked cache operands", k_codes.shape)
-    KVH, L = k_codes.shape[-3], k_codes.shape[-2]
+    KVH, L = k_codes.shape[-3], k_codes.shape[-1]
+    assert k_codes.shape[-2] == d, ("codes must be (…, d, L)", k_codes.shape)
     n_rep = H // KVH
-    # exps arrive transposed: (..., d/group, L) — see init_quantized_kv_cache
+    # exps: (..., d/group, L) — same minor axis as the transposed codes
     cache_group = d // k_exps.shape[-2]
     assert cache_group == group, (cache_group, group)
     assert k_exps.shape[-1] == L, (k_exps.shape, L)
@@ -345,9 +412,8 @@ def decode_attention_quantized(
         _kernel_quantized, scaling=scaling, scale_query=scale_query,
         window=window, group=group, n_rep=n_rep, cache_mb=7.0,
         q_mb=None if q_width is None else q_width - 1,
-        k_mb=None if k_width is None else k_width - 1,
         p_mb=None if p_width is None else p_width - 1,
-        v_mb=None if v_width is None else v_width - 1,
+        dot_dtype=jnp.float32 if interpret else jnp.bfloat16,
         drop_scalar=indexed,
     )
     kc = _kvh_chunk(KVH, L, d, 1 + 1 / group)
@@ -362,7 +428,7 @@ def decode_attention_quantized(
     def wshape(shape):
         return (None, *shape) if indexed else shape
 
-    spec_c = pl.BlockSpec(wshape((1, kc, L, d)),
+    spec_c = pl.BlockSpec(wshape((1, kc, d, L)),
                           im_w(lambda b, g: (b, g, 0, 0)),
                           memory_space=pltpu.VMEM)
     spec_e = pl.BlockSpec(wshape((1, kc, d // group, L)),
@@ -411,16 +477,19 @@ def decode_attention_quantized(
 def supports_decode_attention(attn_cfg) -> bool:
     """Kernel-eligibility: both attention matmuls use the canonical MXINT
     activation format ([1,16] groups, block_fp, width <= 9 so values are
-    exact in bf16) on both operands."""
+    exact in bf16) on both operands. The K/V-side widths must be exactly 8:
+    under quantize-once-at-write semantics the MXINT8 cache format stands in
+    for the use-time operand quantizer, so a config asking for a different
+    K/V width cannot ride the quantized-cache kernel."""
 
-    def mx(c):
+    def mx(c, width_ok=lambda w: w <= 9):
         return bool(
             c and c.get("name") == "block_fp"
             and list(c.get("block_size", ())) == [1, 16]
             and c.get("skip_first_dim", False)
             and c.get("exponent_width") == 8
             and c.get("exponent_bias") is None
-            and c.get("width", 99) <= 9
+            and width_ok(c.get("width", 99))
         )
 
     qk, pv = attn_cfg.qk_cfg, attn_cfg.pv_cfg
@@ -430,10 +499,13 @@ def supports_decode_attention(attn_cfg) -> bool:
     kx = qk.get("w_quantizer") or qk.get("default")
     px = pv.get("x_quantizer") or pv.get("default")
     vx = pv.get("w_quantizer") or pv.get("default")
-    return all(mx(c) for c in (qx, kx, px, vx))
+    return (mx(qx) and mx(px)
+            and mx(kx, lambda w: w == 8) and mx(vx, lambda w: w == 8))
 
 
 def decode_attention_widths(attn_cfg) -> dict:
+    """Widths for the fp-cache kernel (all four operand quantizers run
+    in-kernel)."""
     qk, pv = attn_cfg.qk_cfg, attn_cfg.pv_cfg
     return {
         "q_width": (qk.get("x_quantizer") or qk.get("default"))["width"],
@@ -441,3 +513,10 @@ def decode_attention_widths(attn_cfg) -> dict:
         "p_width": (pv.get("x_quantizer") or pv.get("default"))["width"],
         "v_width": (pv.get("w_quantizer") or pv.get("default"))["width"],
     }
+
+
+def decode_attention_widths_quantized(attn_cfg) -> dict:
+    """Widths for the quantized-cache kernel: only q and probs quantize at
+    use time (K/V widths are fixed by the cache's MXINT8 format)."""
+    w = decode_attention_widths(attn_cfg)
+    return {"q_width": w["q_width"], "p_width": w["p_width"]}

@@ -108,7 +108,25 @@ def _cache_mask(q_abs: jnp.ndarray, max_len: int, dtype,
     return jnp.where(ok, 0.0, jnp.finfo(dtype).min).astype(dtype)[:, None, :, :]
 
 
-def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query):
+def _kv_skip_matmuls(attn_cfg):
+    """Quantize-once-at-write matmuls for the MXINT8 cache: K/V enter the
+    dots as stored (the cache's [1,16]-d-group MXINT8 format IS the operand
+    format), so the w-side quantizer is passthrough; q/probs quantize as
+    configured. Resolution happens at trace time and `make_quantizer` is
+    memoized, so this costs nothing per step."""
+    from ..ops.qlinear import resolve_qmatmul
+
+    def strip(cfg):
+        if cfg is None:
+            return None
+        return {**cfg, "w_quantizer": {"name": "passthrough"}}
+
+    return (resolve_qmatmul(strip(attn_cfg.qk_cfg)),
+            resolve_qmatmul(strip(attn_cfg.pv_cfg)))
+
+
+def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
+            kv_pre_quantized=False):
     """Cache attention with quantized matmuls on 3-D (b·h, ...) operands,
     matching the reference's reshape-before-quantize layout
     (`llama_decoder.py:261-263`) so shared-exponent blocks never span heads.
@@ -121,7 +139,15 @@ def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query):
     to f32 internally and their output grids are bf16-exact, so skipping the
     f32 materialization of the whole cache changes nothing numerically while
     halving the attention-path HBM traffic.
+
+    ``kv_pre_quantized``: the MXINT8-cache path — K/V are already in the
+    cache's operand format (quantized once at write), so the K/V-side
+    operand quantizers are skipped (see `kv_cache.init_quantized_kv_cache`).
     """
+    if kv_pre_quantized:
+        qk_matmul, pv_matmul = _kv_skip_matmuls(attn_cfg)
+    else:
+        qk_matmul, pv_matmul = attn_cfg.qk_matmul, attn_cfg.pv_matmul
     k_full = repeat_kv(k_l, n_rep)
     v_full = repeat_kv(v_l, n_rep)
     b, h, s, d = qh.shape
@@ -131,13 +157,13 @@ def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query):
     v3 = v_full.reshape(b * h, kv_len, d)
     if scale_query:
         q3 = q3 * scaling
-        scores = attn_cfg.qk_matmul(q3, jnp.swapaxes(k3, -1, -2))
+        scores = qk_matmul(q3, jnp.swapaxes(k3, -1, -2))
     else:
-        scores = attn_cfg.qk_matmul(q3, jnp.swapaxes(k3, -1, -2)) * scaling
+        scores = qk_matmul(q3, jnp.swapaxes(k3, -1, -2)) * scaling
     scores = scores.reshape(b, h, s, kv_len) + mask
     scores = jnp.maximum(scores, jnp.finfo(scores.dtype).min)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(qh.dtype)
-    out = attn_cfg.pv_matmul(probs.reshape(b * h, s, kv_len), v3)
+    out = pv_matmul(probs.reshape(b * h, s, kv_len), v3)
     return out.reshape(b, h, s, d)
 
 
@@ -162,36 +188,54 @@ def _use_attn_kernel(backend, s, attn_cfg, max_len, head_dim) -> bool:
 
 def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
                  positions, window, use_kernel, interpret=None,
-                 quant_slices=None, layer_index=None):
-    """Decode attention: fused Pallas kernel (per-head cache-resident, all
-    operand quantizations in-kernel) when eligible, else the eager path.
+                 quant_slices=None, layer_index=None,
+                 kv_pre_quantized=False, fp_stacked=None):
+    """Decode attention: fused Pallas kernel (per-head cache-resident,
+    q/probs quantization in-kernel) when eligible, else the eager path.
 
     ``quant_slices``: the layer's MXINT8 cache slices
     ({k,v}_{codes,exps}, post-update) — the kernel then decodes the cache IN
     VMEM (8.5-bit HBM stream) instead of consuming the pre-decoded ``k_l``/
-    ``v_l``, whose decode XLA dead-code-eliminates."""
+    ``v_l``, whose decode XLA dead-code-eliminates.
+
+    ``fp_stacked``: (k, v) FULL layer-stacked fp cache arrays — the fp-cache
+    kernel reads them in place via ``layer_index`` (scan bodies; slicing
+    would materialize the layer copy).
+
+    ``kv_pre_quantized``: the cache is MXINT8 — its format is the operand
+    format, so the eager fallback skips its K/V-side quantizers (the
+    quantized-cache kernel's semantics, `_kv_skip_matmuls`)."""
     if use_kernel:
         from ..ops.pallas.decode_attention import (
             decode_attention,
             decode_attention_quantized,
             decode_attention_widths,
+            decode_attention_widths_quantized,
         )
 
-        widths = decode_attention_widths(attn_cfg)
         if quant_slices is not None:
             return decode_attention_quantized(
                 qh, quant_slices["k_codes"], quant_slices["k_exps"],
                 quant_slices["v_codes"], quant_slices["v_exps"],
                 positions, scaling=scaling, scale_query=scale_query,
                 window=window, interpret=interpret,
-                layer_index=layer_index, **widths,
+                layer_index=layer_index,
+                **decode_attention_widths_quantized(attn_cfg),
+            )
+        if fp_stacked is not None:
+            return decode_attention(
+                qh, fp_stacked[0], fp_stacked[1], positions, scaling=scaling,
+                scale_query=scale_query, window=window, interpret=interpret,
+                layer_index=layer_index,
+                **decode_attention_widths(attn_cfg),
             )
         return decode_attention(
             qh, k_l, v_l, positions, scaling=scaling,
             scale_query=scale_query, window=window, interpret=interpret,
-            **widths,
+            **decode_attention_widths(attn_cfg),
         )
-    return _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query)
+    return _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
+                   kv_pre_quantized=kv_pre_quantized)
 
 
 def _quant_slices(cache, use_kernel):
@@ -243,7 +287,7 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
                 backend=None, interpret=None, valid_lengths=None):
 
     b, s = input_ids.shape
-    max_len = (cache["k_codes"] if is_quantized_cache(cache) else cache["k"]).shape[3]
+    max_len = _cache_max_len(cache)
     embed = params["model.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
 
@@ -284,7 +328,8 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
                             n_rep, False, positions, window, use_ak, interpret,
                             quant_slices=_quant_slices(cache, use_ak),
-                            layer_index=jnp.asarray([i], jnp.int32))
+                            layer_index=jnp.asarray([i], jnp.int32),
+                            kv_pre_quantized=is_quantized_cache(cache))
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.o_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -315,7 +360,7 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
               backend=None, interpret=None, valid_lengths=None):
 
     b, s = input_ids.shape
-    max_len = (cache["k_codes"] if is_quantized_cache(cache) else cache["k"]).shape[3]
+    max_len = _cache_max_len(cache)
     embed = params["model.decoder.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     if params.get("model.decoder.project_in.weight") is not None:  # OPT-350m
@@ -353,7 +398,8 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
                             1, True, positions, None, use_ak, interpret,
                             quant_slices=_quant_slices(cache, use_ak),
-                            layer_index=jnp.asarray([i], jnp.int32))
+                            layer_index=jnp.asarray([i], jnp.int32),
+                            kv_pre_quantized=is_quantized_cache(cache))
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.out_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -484,48 +530,6 @@ def _lin_group_slice(x, sl, fused_rel, member_rels, qcs,
     ]
 
 
-def _scan_cache_update(cache_sl, kh, vh, positions, compute_dtype):
-    """Per-layer cache-slice update inside a scan body: write the new K/V
-    entries and return (updated slice, decoded K view, decoded V view).
-    Handles both the fp layout ({k, v}) and the MXINT8-quantized layout
-    ({k_codes, k_exps, v_codes, v_exps}) — same math as
-    `kv_cache.update_layer_cache[_quantized]` minus the (L,)-indexed
-    scatter, which scan's xs→ys threading replaces."""
-
-    def upd(c, n, p):
-        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, p, 0))
-
-    if "k_codes" in cache_sl:
-        from ..parallel.collectives import mx8_decode, mx8_encode
-        from .kv_cache import cache_group
-
-        def upd_e(c, n, p):  # exps transposed: token axis is last
-            return jax.lax.dynamic_update_slice(c, n, (0, 0, p))
-
-        group = cache_group(cache_sl)
-        k_c, k_e = mx8_encode(kh, group)
-        v_c, v_e = mx8_encode(vh, group)
-        new = {
-            "k_codes": jax.vmap(upd)(cache_sl["k_codes"], k_c, positions),
-            "k_exps": jax.vmap(upd_e)(cache_sl["k_exps"],
-                                      jnp.swapaxes(k_e, -1, -2), positions),
-            "v_codes": jax.vmap(upd)(cache_sl["v_codes"], v_c, positions),
-            "v_exps": jax.vmap(upd_e)(cache_sl["v_exps"],
-                                      jnp.swapaxes(v_e, -1, -2), positions),
-        }
-        del compute_dtype  # MXINT8 is exact in bf16 (see _cache_update)
-        k_l = mx8_decode(new["k_codes"],
-                         jnp.swapaxes(new["k_exps"], -1, -2), group,
-                         jnp.bfloat16)
-        v_l = mx8_decode(new["v_codes"],
-                         jnp.swapaxes(new["v_exps"], -1, -2), group,
-                         jnp.bfloat16)
-        return new, k_l, v_l
-    k_l = jax.vmap(upd)(cache_sl["k"], kh, positions)
-    v_l = jax.vmap(upd)(cache_sl["v"], vh, positions)
-    return {"k": k_l, "v": v_l}, k_l, v_l
-
-
 def _cache_write_full(cache, li, kh, vh, positions):
     """Write the new K/V entries for layer ``li`` (traced scalar) directly
     into the FULL layer-stacked cache carried through the scan: per-slot
@@ -541,18 +545,21 @@ def _cache_write_full(cache, li, kh, vh, positions):
         group = cache_group(cache)
         k_c, k_e = mx8_encode(kh, group)
         v_c, v_e = mx8_encode(vh, group)
-        # exps stored transposed: token axis last (see init_quantized_kv_cache)
-        news = {"k_codes": k_c, "k_exps": jnp.swapaxes(k_e, -1, -2),
-                "v_codes": v_c, "v_exps": jnp.swapaxes(v_e, -1, -2)}
+        # codes AND exps stored transposed: token axis last
+        # (see init_quantized_kv_cache)
+        news = {"k_codes": jnp.swapaxes(k_c, -1, -2),
+                "k_exps": jnp.swapaxes(k_e, -1, -2),
+                "v_codes": jnp.swapaxes(v_c, -1, -2),
+                "v_exps": jnp.swapaxes(v_e, -1, -2)}
     else:
         news = {"k": kh, "v": vh}
     s = kh.shape[2]
 
     def tok_dim(key):  # cache dim holding the token axis
-        return 4 if key.endswith("_exps") else 3
+        return 3 if key in ("k", "v") else 4
 
     aligned = all(
-        cache[k].shape[tok_dim(k)] % (128 if k.endswith("_exps") else 32) == 0
+        cache[k].shape[tok_dim(k)] % (32 if k in ("k", "v") else 128) == 0
         for k in news
     )
     if s == 1 and aligned:
@@ -591,10 +598,10 @@ def _cache_layer_views(cache, li):
         from .kv_cache import cache_group
 
         group = cache_group(cache)
-        k_l = mx8_decode(take(cache["k_codes"]),
+        k_l = mx8_decode(jnp.swapaxes(take(cache["k_codes"]), -1, -2),
                          jnp.swapaxes(take(cache["k_exps"]), -1, -2),
                          group, jnp.bfloat16)
-        v_l = mx8_decode(take(cache["v_codes"]),
+        v_l = mx8_decode(jnp.swapaxes(take(cache["v_codes"]), -1, -2),
                          jnp.swapaxes(take(cache["v_exps"]), -1, -2),
                          group, jnp.bfloat16)
         return k_l, v_l
@@ -602,8 +609,10 @@ def _cache_layer_views(cache, li):
 
 
 def _cache_max_len(cache: dict) -> int:
-    return (cache["k_codes"] if is_quantized_cache(cache)
-            else cache["k"]).shape[3]
+    # quantized layout is token-axis-LAST (codes (…, d, L)); fp is (…, L, d)
+    if is_quantized_cache(cache):
+        return cache["k_codes"].shape[-1]
+    return cache["k"].shape[3]
 
 
 def _q_segments(layer_qcfg, num_layers: int, default_q: dict):
@@ -715,15 +724,18 @@ def llama_step_scan(
 
             cache = _cache_write_full(cache, li[0], kh, vh, positions)
             use_qk = use_ak and "k_codes" in cache
-            if use_qk:
-                k_l = v_l = None  # kernel reads the stacked codes in place
+            if use_ak:
+                k_l = v_l = None  # kernels read the stacked cache in place
             else:
                 k_l, v_l = _cache_layer_views(cache, li[0])
             attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg,
                                 cfg.head_dim**-0.5, n_rep, False, positions,
                                 getattr(cfg, "sliding_window", None), use_ak,
                                 quant_slices=_quant_slices(cache, use_qk),
-                                layer_index=li)
+                                layer_index=li,
+                                kv_pre_quantized="k_codes" in cache,
+                                fp_stacked=None if use_qk or not use_ak
+                                else (cache["k"], cache["v"]))
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.o_proj",
                               attn_cfg.o_proj, b_meta, b_arrays,
                               layer_index=li)
@@ -825,14 +837,17 @@ def opt_step_scan(
 
             cache = _cache_write_full(cache, li[0], kh, vh, positions)
             use_qk = use_ak and "k_codes" in cache
-            if use_qk:
-                k_l = v_l = None
+            if use_ak:
+                k_l = v_l = None  # kernels read the stacked cache in place
             else:
                 k_l, v_l = _cache_layer_views(cache, li[0])
             attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg,
                                 cfg.head_dim**-0.5, 1, True, positions, None,
                                 use_ak, quant_slices=_quant_slices(cache, use_qk),
-                                layer_index=li)
+                                layer_index=li,
+                                kv_pre_quantized="k_codes" in cache,
+                                fp_stacked=None if use_qk or not use_ak
+                                else (cache["k"], cache["v"]))
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.out_proj",
                               attn_cfg.o_proj, b_meta, b_arrays,
                               layer_index=li)

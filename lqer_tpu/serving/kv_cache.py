@@ -90,21 +90,28 @@ def init_quantized_kv_cache(
     """KV cache stored as MXINT8 codes + per-16-group int8 exponents:
     8.5 bits/value vs 16 for bf16 (~1.9x cache memory/bandwidth saving).
 
-    K/V are quantized per (token, d-group) at INSERT time — the same
-    activation format the eager path's P·V already applies to V (block
-    [1,16] along d), so V round-trips exactly; K picks up one extra
-    8-bit quantization relative to the fp cache (the use-time token-axis
-    quantization then applies on top). ROADMAP's KV-quantization analysis.
+    K/V are quantized per (token, d-group) at INSERT time and that format IS
+    the attention-operand format (quantize-once-at-write, round 4): QK^T and
+    P·V consume the stored values directly with no use-time K/V
+    re-quantization — one FEWER lossy step than round 3's
+    cache-format-then-requantize semantics, and the decode-attention kernel
+    becomes a pure streaming decode (see
+    `ops.pallas.decode_attention._kernel_quantized_body`).
+
+    Both codes and exponents are stored TRANSPOSED — token axis LAST:
+    codes (…, head_dim, max_len), exps (…, head_dim/group, max_len).
+    Two reasons (both measured in round 3/4):
+      * the d-group structure lands on SUBLANES, so the in-kernel decode is
+        one sublane-split reshape + broadcast multiply — the round-3
+        (L, d)-codes layout forced two full-cache f32 transposes per head
+        (Mosaic cannot reshape lane groups);
+      * an 8-wide minor dim ((max_len, d/group) exps) makes XLA prefer a
+        swapped-minor-dims layout while Pallas requires the default one —
+        every kernel call paid two ~33 MB layout-conversion copies
+        (~160 us/layer, bench_attention_probe `write`).
     """
     assert head_dim % group == 0, (head_dim, group)
-    shape_c = (num_layers, batch, kv_heads, max_len, head_dim)
-    # exponents are stored TRANSPOSED — (d/group, max_len) per head — so the
-    # minor dim is the long token axis: with the natural (max_len, d/group)
-    # orientation the 8-wide minor dim makes XLA prefer a swapped-minor-dims
-    # layout while Pallas requires the default one, and every kernel call in
-    # the decode scan paid two ~33 MB layout-conversion copies per exps array
-    # (~160 us/layer, measured via bench_attention_probe `write`). The
-    # transposed layout is also what the attention kernel consumes directly.
+    shape_c = (num_layers, batch, kv_heads, head_dim, max_len)
     shape_e = (num_layers, batch, kv_heads, head_dim // group, max_len)
     z8 = jnp.zeros(shape_c, jnp.int8)
     ze = jnp.zeros(shape_e, jnp.int8)
@@ -115,9 +122,9 @@ def init_quantized_kv_cache(
 
 
 def cache_group(cache: dict) -> int:
-    """Quantization group of a quantized cache: codes (…, L, d) vs exps
-    stored transposed (…, d/group, L)."""
-    return cache["k_codes"].shape[-1] // cache["k_exps"].shape[-2]
+    """Quantization group of a quantized cache: codes (…, d, L) vs exps
+    (…, d/group, L) — both token-axis-last."""
+    return cache["k_codes"].shape[-2] // cache["k_exps"].shape[-2]
 
 
 def is_quantized_cache(cache: dict) -> bool:
@@ -132,25 +139,25 @@ def update_layer_cache_quantized(
     positions: jnp.ndarray,
     compute_dtype=jnp.float32,
 ) -> tuple[dict, jnp.ndarray, jnp.ndarray]:
-    """Quantize the new entries, write codes+exponents, return the decoded
-    post-update layer views (b, kv_heads, max_len, d)."""
+    """Quantize the new entries, write codes+exponents (token axis last for
+    both), return the decoded post-update layer views
+    (b, kv_heads, max_len, d)."""
     from ..parallel.collectives import mx8_decode, mx8_encode
 
     group = cache_group(cache)
     k_c, k_e = mx8_encode(k_new, group)
     v_c, v_e = mx8_encode(v_new, group)
 
-    def upd(c, n, p):
-        return jax.lax.dynamic_update_slice(c, n, (0, p, 0))
-
-    def upd_e(c, n, p):  # exps transposed: token axis is last
+    def upd_t(c, n, p):  # token axis last (codes and exps alike)
         return jax.lax.dynamic_update_slice(c, n, (0, 0, p))
 
-    kc_l = jax.vmap(upd)(cache["k_codes"][layer], k_c, positions)
-    ke_l = jax.vmap(upd_e)(cache["k_exps"][layer],
+    kc_l = jax.vmap(upd_t)(cache["k_codes"][layer],
+                           jnp.swapaxes(k_c, -1, -2), positions)
+    ke_l = jax.vmap(upd_t)(cache["k_exps"][layer],
                            jnp.swapaxes(k_e, -1, -2), positions)
-    vc_l = jax.vmap(upd)(cache["v_codes"][layer], v_c, positions)
-    ve_l = jax.vmap(upd_e)(cache["v_exps"][layer],
+    vc_l = jax.vmap(upd_t)(cache["v_codes"][layer],
+                           jnp.swapaxes(v_c, -1, -2), positions)
+    ve_l = jax.vmap(upd_t)(cache["v_exps"][layer],
                            jnp.swapaxes(v_e, -1, -2), positions)
     cache = {
         **cache,
@@ -159,6 +166,8 @@ def update_layer_cache_quantized(
         "v_codes": cache["v_codes"].at[layer].set(vc_l),
         "v_exps": cache["v_exps"].at[layer].set(ve_l),
     }
-    k_l = mx8_decode(kc_l, jnp.swapaxes(ke_l, -1, -2), group, compute_dtype)
-    v_l = mx8_decode(vc_l, jnp.swapaxes(ve_l, -1, -2), group, compute_dtype)
+    k_l = mx8_decode(jnp.swapaxes(kc_l, -1, -2),
+                     jnp.swapaxes(ke_l, -1, -2), group, compute_dtype)
+    v_l = mx8_decode(jnp.swapaxes(vc_l, -1, -2),
+                     jnp.swapaxes(ve_l, -1, -2), group, compute_dtype)
     return cache, k_l, v_l

@@ -14,11 +14,11 @@ from lqer_tpu.ops.pallas.attention import quantized_attention
 
 
 def _enc_t(x, g=16):
-    """mx8_encode with the cache's transposed exps layout (token axis last,
-    kv_cache.init_quantized_kv_cache)."""
+    """mx8_encode with the cache's transposed layout (token axis last for
+    codes AND exps, kv_cache.init_quantized_kv_cache)."""
     from lqer_tpu.parallel.collectives import mx8_encode
     c, e = mx8_encode(x, g)
-    return c, jnp.swapaxes(e, -1, -2)
+    return jnp.swapaxes(c, -1, -2), jnp.swapaxes(e, -1, -2)
 
 
 def _aq(x):
@@ -117,7 +117,8 @@ class TestDecodeAttention:
         valid = jnp.arange(L)[None, None, :, None] <= pos[:, None, None, None]
         return q, k * valid, v * valid, pos
 
-    def _eager(self, q, k, v, pos, window=None, scale_query=False):
+    def _eager(self, q, k, v, pos, window=None, scale_query=False,
+               kv_pre_quantized=False):
         from lqer_tpu.serving.decode import _attend, _cache_mask
         from lqer_tpu.models.config_expand import resolve_model_configs
 
@@ -130,7 +131,8 @@ class TestDecodeAttention:
         L = k.shape[2]
         mask = _cache_mask(pos[:, None], L, jnp.float32, window=window)
         return _attend(q, k, v, mask, qcfg, d**-0.5,
-                       h // k.shape[1], scale_query), qcfg
+                       h // k.shape[1], scale_query,
+                       kv_pre_quantized=kv_pre_quantized), qcfg
 
     def test_matches_eager(self):
         from lqer_tpu.ops.pallas.decode_attention import (
@@ -178,9 +180,8 @@ class TestDecodeAttention:
         cache must equal per-layer sliced calls exactly (the scan decode
         path's no-copy cache read)."""
         from lqer_tpu.ops.pallas.decode_attention import (
-            decode_attention_quantized, decode_attention_widths,
+            decode_attention_quantized, decode_attention_widths_quantized,
         )
-        from lqer_tpu.parallel.collectives import mx8_encode
 
         NL = 3
         stacks = {k: [] for k in ("k_codes", "k_exps", "v_codes", "v_exps")}
@@ -194,7 +195,7 @@ class TestDecodeAttention:
                 stacks[key].append(arr)
         stacked = {k: jnp.stack(v) for k, v in stacks.items()}
         _, qcfg = self._eager(*self._mk(seed=20)[:3], self._mk(seed=20)[3])
-        widths = decode_attention_widths(qcfg)
+        widths = decode_attention_widths_quantized(qcfg)
         for i, (q, k_c, k_e, v_c, v_e, pos) in enumerate(per_layer):
             ref = decode_attention_quantized(
                 q, k_c, k_e, v_c, v_e, pos, scaling=q.shape[-1]**-0.5,
@@ -206,18 +207,41 @@ class TestDecodeAttention:
                 layer_index=jnp.asarray([i], jnp.int32), **widths)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    def test_layer_indexed_fp_cache_matches_sliced(self):
+        """The fp-cache kernel's scalar-prefetch layer indexing (round 4 —
+        the bf16-cache scan path's no-copy cache read) must equal per-layer
+        sliced calls exactly."""
+        from lqer_tpu.ops.pallas.decode_attention import (
+            decode_attention, decode_attention_widths,
+        )
+
+        NL = 3
+        per_layer = [self._mk(seed=40 + i) for i in range(NL)]
+        k_st = jnp.stack([k for _, k, _, _ in per_layer]).astype(jnp.bfloat16)
+        v_st = jnp.stack([v for _, _, v, _ in per_layer]).astype(jnp.bfloat16)
+        _, qcfg = self._eager(*per_layer[0])
+        widths = decode_attention_widths(qcfg)
+        for i, (q, k, v, pos) in enumerate(per_layer):
+            ref = decode_attention(
+                q, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16), pos,
+                scaling=q.shape[-1]**-0.5, interpret=True, **widths)
+            got = decode_attention(
+                q, k_st, v_st, pos, scaling=q.shape[-1]**-0.5,
+                interpret=True, layer_index=jnp.asarray([i], jnp.int32),
+                **widths)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_head_chunked_grid_matches(self, monkeypatch):
         """A VMEM budget too small for all KV heads must split the head dim
         across grid programs (kvh chunking) without changing results — the
         long-context (2048 x 32-head) configuration depends on this."""
         from lqer_tpu.ops.pallas import decode_attention as da
-        from lqer_tpu.parallel.collectives import mx8_encode
 
         q, k, v, pos = self._mk(b=2, h=8, kvh=4, L=64, d=32, seed=9)
         k_c, k_e = _enc_t(k)
         v_c, v_e = _enc_t(v)
         _, qcfg = self._eager(q, k, v, pos)
-        widths = da.decode_attention_widths(qcfg)
+        widths = da.decode_attention_widths_quantized(qcfg)
         ref = da.decode_attention_quantized(
             q, k_c, k_e, v_c, v_e, pos, scaling=q.shape[-1]**-0.5,
             interpret=True, **widths)
@@ -239,27 +263,60 @@ class TestDecodeAttention:
 
     def test_quantized_cache_matches_eager_on_decoded(self):
         """The quantized-cache kernel (in-VMEM MXINT8 decode) must equal the
-        eager path fed the DECODED cache — the exact computation
-        `update_layer_cache_quantized` + `_attend` performs today."""
+        eager path fed the DECODED cache under quantize-once-at-write
+        semantics (K/V-side operand quantizers skipped — the cache format IS
+        the operand format; `serving.decode._kv_skip_matmuls`)."""
         from lqer_tpu.ops.pallas.decode_attention import (
-            decode_attention_quantized, decode_attention_widths,
+            decode_attention_quantized, decode_attention_widths_quantized,
         )
         from lqer_tpu.parallel.collectives import mx8_decode, mx8_encode
 
         q, k, v, pos = self._mk(seed=7)
         k_c, k_e = mx8_encode(k, 16)
         v_c, v_e = mx8_encode(v, 16)
-        k_dec = mx8_decode(k_c, k_e, 16, jnp.float32)
-        v_dec = mx8_decode(v_c, v_e, 16, jnp.float32)
-        ref, qcfg = self._eager(q, k_dec, v_dec, pos)
+        k_dec = mx8_decode(k_c, k_e, 16, jnp.bfloat16)
+        v_dec = mx8_decode(v_c, v_e, 16, jnp.bfloat16)
+        ref, qcfg = self._eager(q, k_dec, v_dec, pos, kv_pre_quantized=True)
         out = decode_attention_quantized(
-            q, k_c, jnp.swapaxes(k_e, -1, -2),
-            v_c, jnp.swapaxes(v_e, -1, -2), pos,
+            q, jnp.swapaxes(k_c, -1, -2), jnp.swapaxes(k_e, -1, -2),
+            jnp.swapaxes(v_c, -1, -2), jnp.swapaxes(v_e, -1, -2), pos,
             scaling=q.shape[-1]**-0.5,
-            interpret=True, **decode_attention_widths(qcfg),
+            interpret=True, **decode_attention_widths_quantized(qcfg),
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6, rtol=1e-6)
+
+    def test_quantized_cache_skips_kv_requant(self):
+        """Quantize-once-at-write: feeding the kernel a cache whose values
+        are NOT a fixed point of the old use-time token-group requantize must
+        still match the skip-semantics oracle (i.e. the kernel really does
+        no K-side requantization)."""
+        from lqer_tpu.ops.pallas.decode_attention import (
+            decode_attention_quantized, decode_attention_widths_quantized,
+        )
+        from lqer_tpu.parallel.collectives import mx8_decode, mx8_encode
+
+        # values with wildly varying magnitude along tokens: a token-group
+        # requantize would change them (shared exponent over 16 tokens)
+        q, k, v, pos = self._mk(seed=11)
+        ramp = jnp.exp2(
+            (jnp.arange(k.shape[2]) % 16).astype(jnp.float32) - 8.0
+        )[None, None, :, None]
+        k = k * ramp
+        v = v * ramp
+        k_c, k_e = mx8_encode(k, 16)
+        v_c, v_e = mx8_encode(v, 16)
+        k_dec = mx8_decode(k_c, k_e, 16, jnp.bfloat16)
+        v_dec = mx8_decode(v_c, v_e, 16, jnp.bfloat16)
+        ref, qcfg = self._eager(q, k_dec, v_dec, pos, kv_pre_quantized=True)
+        out = decode_attention_quantized(
+            q, jnp.swapaxes(k_c, -1, -2), jnp.swapaxes(k_e, -1, -2),
+            jnp.swapaxes(v_c, -1, -2), jnp.swapaxes(v_e, -1, -2), pos,
+            scaling=q.shape[-1]**-0.5,
+            interpret=True, **decode_attention_widths_quantized(qcfg),
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
 
 
 def _mx8():

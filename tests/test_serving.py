@@ -191,8 +191,9 @@ def test_quantized_cache_memory_layout():
     from lqer_tpu.serving.kv_cache import init_quantized_kv_cache
 
     c = init_quantized_kv_cache(2, 1, 4, 64, 32)
-    assert c["k_codes"].shape == (2, 1, 4, 32, 64)
-    # exps transposed: token axis last (layout-stable minor dim for Pallas)
+    # codes AND exps transposed: token axis last (sublane d-groups for the
+    # kernel decode; layout-stable minor dim for Pallas)
+    assert c["k_codes"].shape == (2, 1, 4, 64, 32)
     assert c["k_exps"].shape == (2, 1, 4, 4, 32)
     bits_per_value = 8 * (c["k_codes"].size + c["k_exps"].size) / c["k_codes"].size
     assert abs(bits_per_value - 8.5) < 0.01

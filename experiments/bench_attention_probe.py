@@ -58,7 +58,14 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cases", nargs="+", default=[
         "qfull", "qnoreq", "xla", "write", "fetch"])
+    ap.add_argument("--vmem-budget", type=int, default=0,
+                    help="override _kvh_chunk VMEM budget (bytes)")
     args = ap.parse_args()
+    if args.vmem_budget:
+        import functools as _ft
+        from lqer_tpu.ops.pallas import decode_attention as _da
+        _orig = _da._kvh_chunk
+        _da._kvh_chunk = _ft.partial(_orig, budget=args.vmem_budget)
 
     NL, B, KVH, L, d = args.layers, args.batch, 32, args.ctx, 128
     H, g = 32, 16
@@ -167,6 +174,97 @@ def main():
                     return st
 
                 total = 0
+            elif case in ("wenc", "wkern"):
+                # split of `write`: wenc = mx8_encode+swapaxes of the new
+                # rows only; wkern = write_kv_rows_stacked only (pre-encoded
+                # news, encode outside the chain).
+                from lqer_tpu.parallel.collectives import mx8_encode as enc
+                from lqer_tpu.ops.pallas.cache_write import (
+                    write_kv_rows_stacked,
+                )
+
+                kh0 = q0[:, :KVH, :, :]
+                kc0, ke0 = enc(kh0, g)
+                news0 = (jnp.swapaxes(kc0, -1, -2),
+                         jnp.swapaxes(ke0, -1, -2))
+
+                if case == "wenc":
+                    def per_layer(q, li, kv):
+                        kh = q[:, :KVH, :, :]
+                        k_c, k_e = enc(kh, g)
+                        out = (jnp.swapaxes(k_c, -1, -2).astype(jnp.float32)
+                               .sum() + jnp.swapaxes(k_e, -1, -2)
+                               .astype(jnp.float32).sum())
+                        return jnp.broadcast_to(
+                            out * 1e-20, (B, H, 1, d)).astype(jnp.float32)
+
+                    chain, chain_kv = make_chain(per_layer), cache
+                    total = 0
+                else:
+                    @jax.jit
+                    def chain(state):
+                        q, cache = state
+
+                        def it(st, _):
+                            q, cache = st
+
+                            def body(c, li):
+                                q, cache = c
+                                keys = sorted(
+                                    k for k in cache if k.endswith("codes")
+                                    or k.endswith("exps"))
+                                upd = write_kv_rows_stacked(
+                                    tuple(cache[k] for k in keys),
+                                    (news0[0], news0[1], news0[0], news0[1]),
+                                    li[0], positions)
+                                cache = dict(zip(keys, upd))
+                                return (q + 1e-6, cache), None
+
+                            (q, cache), _ = jax.lax.scan(
+                                body, (q, cache),
+                                jnp.arange(NL, dtype=jnp.int32)[:, None])
+                            return (q, cache), None
+
+                        st, _ = jax.lax.scan(it, (q, cache), None,
+                                             length=args.iters)
+                        return st
+
+                    total = 0
+            elif case == "wbatch":
+                # ONE write kernel per step covering all NL layers
+                # (grid (NL, B)) — the deferred-write design's cost.
+                from lqer_tpu.parallel.collectives import mx8_encode as enc
+                from lqer_tpu.ops.pallas.cache_write import (
+                    write_kv_rows_all_layers,
+                )
+
+                kh0 = q0[:, None, :KVH, :, :]            # (B, 1, KVH, 1, d)
+                kc0, ke0 = enc(jnp.broadcast_to(
+                    kh0, (B, NL, KVH, 1, d)), g)
+                news0 = (jnp.swapaxes(kc0, -1, -2).swapaxes(0, 1),
+                         jnp.swapaxes(ke0, -1, -2).swapaxes(0, 1))
+
+                @jax.jit
+                def chain(state):
+                    q, cache = state
+
+                    def it(st, _):
+                        q, cache = st
+                        keys = sorted(
+                            k for k in cache if k.endswith("codes")
+                            or k.endswith("exps"))
+                        upd = write_kv_rows_all_layers(
+                            tuple(cache[k] for k in keys),
+                            (news0[0], news0[1], news0[0], news0[1]),
+                            positions)
+                        cache = dict(zip(keys, upd))
+                        return (q + 1e-6, cache), None
+
+                    st, _ = jax.lax.scan(it, (q, cache), None,
+                                         length=args.iters)
+                    return st
+
+                total = 0
             elif case == "fetch":
                 from jax.experimental import pallas as pl
                 from jax.experimental.pallas import tpu as pltpu
@@ -182,7 +280,7 @@ def main():
                            + jnp.sum(ke[...].astype(jnp.float32))
                            + jnp.sum(vc[...].astype(jnp.float32))
                            + jnp.sum(ve[...].astype(jnp.float32)))
-                    o_ref[0, 0] += acc
+                    o_ref[...] = o_ref[...] + acc
 
                 spec_c = pl.BlockSpec((None, 1, 4, d, L),
                                       lambda b, g_, idx: (idx[0], b, g_, 0, 0),
@@ -212,7 +310,7 @@ def main():
                 total = qbytes
 
             times = []
-            if case == "write":
+            if case in ("write", "wkern", "wbatch"):
                 state = (q0, cache)
                 for _ in range(args.repeats):
                     t, state = _bench(chain, state, args.iters)

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Split the FULL fused decode step's time into attention / cache-write /
+linears+rest by monkeypatching the sub-parts out of the real
+`llama_step_scan` (same chain-of-steps methodology as bench.py).
+
+Cases:
+  full    — the real step (bench.py's fused side)
+  noattn  — `_attend_auto` returns qh (attention kernel + cache read off;
+            QKV/O/MLP kernels, norms, rotary, writes, lm_head all remain)
+  nowrite — `_cache_write_full` is identity (attention reads stale cache)
+  nohead  — lm_head matmul+argmax replaced by a cheap slice-sum token
+  bare    — noattn + nowrite + nohead (kernel-linears + norms + rotary)
+
+Run on the real chip; one dispatch per chain (scan of ITERS steps), value
+fetch drain, min over repeats.
+"""
+
+import argparse
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--ctx", type=int, default=2048)
+    ap.add_argument("--iters", type=int, default=48)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cases", nargs="+",
+                    default=["full", "noattn", "nowrite", "nohead", "bare"])
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from lqer_tpu import models
+    from lqer_tpu.models import LlamaConfig
+    from lqer_tpu.serving import decode as dec
+    from experiments.bench_e2e_llama7b import (
+        build_7b_backend_and_params,
+    )
+
+    RANK, SLOTS = 32, 8
+    cfg = dataclasses.replace(LlamaConfig.llama_7b(),
+                              num_hidden_layers=args.layers)
+    backend, params, qcfgs = build_7b_backend_and_params(cfg, RANK)
+    arch_mod = models.get_arch_module(cfg)
+    stacked, rest = arch_mod.stack_layer_params(params, cfg)
+    bs = dec.stack_backend(backend, cfg)
+    qcfg0 = qcfgs[0] if qcfgs else None
+    NL = cfg.num_hidden_layers
+    positions = jnp.full((SLOTS,), args.ctx - 2, jnp.int32)
+
+    orig_attend = dec._attend_auto
+    orig_write = dec._cache_write_full
+
+    def noattn_attend(qh, *a, **kw):
+        return qh.astype(jnp.float32)
+
+    def nowrite_write(cache, li, kh, vh, positions):
+        return cache
+
+    results = {}
+    for case in args.cases:
+        dec._attend_auto = noattn_attend if case in ("noattn", "bare") \
+            else orig_attend
+        dec._cache_write_full = nowrite_write if case in ("nowrite", "bare") \
+            else orig_write
+        nohead = case in ("nohead", "bare")
+
+        cache = dec.make_cache(cfg, SLOTS, args.ctx, "mxint8")
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def chain(tokens, cache, stacked, rest, b_arrays, nohead=nohead):
+            def it(state, _):
+                tok, cache = state
+                logits, cache = dec.llama_step_scan(
+                    {}, tok[:, None], cache, positions, cfg, qcfg0,
+                    stacked=stacked, rest=rest,
+                    backend_stacked={"arrays": b_arrays, "meta": bs["meta"]},
+                )
+                nxt = (jnp.sum(logits[:, 0, :8], axis=-1).astype(jnp.int32)
+                       % 100) if nohead else \
+                    jnp.argmax(logits[:, 0, :], -1).astype(jnp.int32)
+                return (nxt, cache), None
+
+            state, _ = jax.lax.scan(it, (tokens, cache), None,
+                                    length=args.iters)
+            return state
+
+        if nohead:
+            # replace lm_head with a tiny matrix so its matmul vanishes
+            rest_c = dict(rest)
+            rest_c["lm_head.weight"] = jnp.zeros((128, cfg.hidden_size),
+                                                 jnp.bfloat16)
+        else:
+            rest_c = rest
+
+        state = (jnp.zeros((SLOTS,), jnp.int32), cache)
+        ts = []
+        for r in range(args.repeats + 1):
+            t0 = time.perf_counter()
+            state = chain(state[0], state[1], stacked, rest_c, bs["arrays"])
+            jax.device_get(state[0])
+            t = (time.perf_counter() - t0) / args.iters
+            if r:  # skip warmup
+                ts.append(t)
+        results[case] = min(ts)
+        print(f"{case:8s} {min(ts)*1e3:8.2f} ms/step ({args.layers} layers; "
+              f"x{32 // args.layers} -> {min(ts)*1e3 * 32 / args.layers:7.2f}"
+              " ms at 32)", flush=True)
+
+    dec._attend_auto = orig_attend
+    dec._cache_write_full = orig_write
+    if "full" in results:
+        for k, v in results.items():
+            if k != "full":
+                print(f"  full - {k:7s} = "
+                      f"{(results['full'] - v)*1e3 * 32 / args.layers:6.2f} "
+                      "ms at 32 layers", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,9 +45,9 @@ ROWBLK = 32    # int8 VMEM tile height — smallest legal sublane window
 LANEBLK = 128  # lane tile width — smallest legal lane window
 
 
-def _kernel(idx_ref, pos_ref, *refs, lane_axis: tuple):
+def _kernel(idx_ref, pos_ref, *refs, lane_axis: tuple, batched: bool = False):
     del idx_ref  # consumed by the BlockSpec index maps
-    b = pl.program_id(0)
+    b = pl.program_id(1 if batched else 0)
     n_arrays = len(lane_axis)
     cache_in = refs[:n_arrays]
     new = refs[n_arrays:2 * n_arrays]
@@ -130,4 +130,195 @@ def write_kv_rows_stacked(
         positions.astype(jnp.int32),
         *cache_arrays,
         *new_rows,
+    ))
+
+
+def write_kv_rows_all_layers(
+    cache_arrays: tuple,
+    new_rows: tuple,
+    positions: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+) -> tuple:
+    """Batched variant of :func:`write_kv_rows_stacked`: write EVERY layer's
+    new token row in ONE pallas_call (grid (NL, B)). ``new_rows``: arrays
+    with a leading NL dim matching the cache's. One call per decode STEP
+    instead of one per layer — per-call pipeline overheads measured ~10x the
+    window-RMW byte cost when issued per layer inside the scan
+    (bench_attention_probe `wkern`, round 4).
+
+    Same positions-in-bounds precondition as write_kv_rows_stacked:
+    positions[b] must be < max_len or the aligned window clamps and the
+    token lands in the wrong window."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = len(cache_arrays)
+    NL, B = new_rows[0].shape[0], new_rows[0].shape[1]
+    lane_axis = tuple(r.shape[4] == 1 and a.shape[4] > 1
+                      for a, r in zip(cache_arrays, new_rows))
+    for a, lane in zip(cache_arrays, lane_axis):
+        L, blk = (a.shape[4], LANEBLK) if lane else (a.shape[3], ROWBLK)
+        assert L % blk == 0, ("cache length not aligned", a.shape, blk)
+
+    def im_cache(lane):
+        if lane:
+            return lambda li, b, pos: (li, b, 0, 0, pos[b] // LANEBLK)
+        return lambda li, b, pos: (li, b, 0, pos[b] // ROWBLK, 0)
+
+    def im_new(li, b, pos):
+        return (li, b, 0, 0, 0)
+
+    specs_cache = [
+        pl.BlockSpec(
+            (None, 1, a.shape[2], a.shape[3], LANEBLK) if lane
+            else (None, 1, a.shape[2], ROWBLK, a.shape[4]),
+            im_cache(lane), memory_space=pltpu.VMEM)
+        for a, lane in zip(cache_arrays, lane_axis)
+    ]
+    specs_new = [
+        pl.BlockSpec((None, 1, r.shape[2], r.shape[3], r.shape[4]), im_new,
+                     memory_space=pltpu.VMEM)
+        for r in new_rows
+    ]
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in cache_arrays]
+    # flat input order: [pos, *cache, *new] — aliases count the scalar
+    # prefetch operand, so cache input i is flat index 1 + i.
+    aliases = {1 + i: i for i in range(n)}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NL, B),
+        in_specs=specs_cache + specs_new,
+        out_specs=specs_cache,
+    )
+    return tuple(pl.pallas_call(
+        functools.partial(_kernel_all, lane_axis=lane_axis),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(
+        positions.astype(jnp.int32),
+        *cache_arrays,
+        *new_rows,
+    ))
+
+
+def _kernel_all(pos_ref, *refs, lane_axis: tuple):
+    return _kernel(None, pos_ref, *refs, lane_axis=lane_axis, batched=True)
+
+
+# ---------------------------------------------------------------------------
+# Fused MXINT8 encode + write (decode s=1, quantized cache)
+# ---------------------------------------------------------------------------
+def _ceil_log2_exact(x):
+    """clip(ceil(log2(x)), -127, 128) for positive finite f32 ``x`` via
+    exponent-field bit arithmetic — EXACT (no transcendental), matching
+    XLA's float log2/ceil on every value incl. exact powers of two (where a
+    1-ulp log2 error would flip the shared exponent and every code in the
+    group):  normals: floor(log2) = biased_exp - 127, ceil adds 1 unless the
+    mantissa is zero; subnormals land at the -127 clip exactly like the
+    float path (ceil(log2(x)) <= -126 there)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    be = (bits >> 23) & 0xFF
+    m = bits & 0x7FFFFF
+    e = jnp.where(be == 0, -127, be - 127 + (m != 0).astype(jnp.int32))
+    return jnp.clip(e, -127, 128)
+
+
+def _encode_t(vals_t, group):
+    """`mx8_encode(..., zero_fill=1.0)` on TRANSPOSED values (d, N): groups
+    of ``group`` along the sublane (d) axis. Returns (codes (d, N) f32-held,
+    exps (d/group, N) f32-held) — same bytes as the XLA encode once cast to
+    int8 (exp2/divide/round are IEEE-exact / identical lowerings)."""
+    dd, n = vals_t.shape
+    v = vals_t.astype(jnp.float32).reshape(dd // group, group, n)
+    bmax = jnp.max(jnp.abs(v), axis=1, keepdims=True)
+    bmax = jnp.where(bmax == 0, jnp.float32(1.0), bmax)
+    e = _ceil_log2_exact(bmax).astype(jnp.float32)
+    sign = jnp.sign(v + 1e-9)
+    mant = jnp.clip(
+        jnp.round((jnp.abs(v) + 1e-9) / jnp.exp2(e) * 128.0), 0, 127)
+    codes = (sign * mant).reshape(dd, n)
+    return codes, e.reshape(dd // group, n)
+
+
+def _kernel_fused(idx_ref, pos_ref, kh_ref, vh_ref, kc_in, ke_in, vc_in,
+                  ve_in, kc_o, ke_o, vc_o, ve_o, *, group):
+    del idx_ref  # consumed by the BlockSpec index maps
+    b = pl.program_id(0)
+    r = pos_ref[b] % LANEBLK
+
+    for h_ref, ins, outs in ((kh_ref, (kc_in, ke_in), (kc_o, ke_o)),
+                             (vh_ref, (vc_in, ve_in), (vc_o, ve_o))):
+        vals = h_ref[0, :, 0, :].astype(jnp.float32)     # (KVH, d)
+        codes_t, exps_t = _encode_t(vals.T, group)       # (d, KVH), (d/g, KVH)
+        for c_ref, o_ref, new_t in zip(ins, outs, (codes_t, exps_t)):
+            c = c_ref[...]                                # (1, KVH, *, 128)
+            n = jnp.broadcast_to(
+                new_t.T[None, :, :, None].astype(c.dtype), c.shape)
+            idx = jax.lax.broadcasted_iota(jnp.int32, c.shape, 3)
+            o_ref[...] = jnp.where(idx == r, n, c)
+
+
+def write_kv_tokens_fused(
+    cache_arrays: tuple,   # (k_codes, k_exps, v_codes, v_exps) layer-stacked
+    kh: jnp.ndarray,       # (B, KVH, 1, d) RAW new K rows (fp)
+    vh: jnp.ndarray,
+    layer_index: jnp.ndarray,
+    positions: jnp.ndarray,
+    *,
+    group: int = 16,
+    interpret: bool | None = None,
+) -> tuple:
+    """MXINT8-encode the new token's K/V rows IN-KERNEL and blend them into
+    the aliased cache windows — replaces mx8_encode + swapaxes relayouts +
+    `write_kv_rows_stacked` for the s=1 decode path (the XLA-side encode of
+    a 32 KB tensor cost ~0.14 ms/layer in relayouts alone, round-4
+    bench_step_split). Byte-identical to
+    ``mx8_encode(zero_fill=1.0)`` + `write_kv_rows_stacked`
+    (`tests/test_serving.py::test_fused_cache_write_matches_encode_write`).
+
+    Positions-in-bounds precondition as everywhere in this module:
+    positions[b] must be < max_len."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kc_a, ke_a, vc_a, ve_a = cache_arrays
+    B, KVH = kh.shape[0], kh.shape[1]
+    d = kh.shape[3]
+    L = kc_a.shape[4]
+    assert L % LANEBLK == 0 and kc_a.shape[3] == d, (kc_a.shape, kh.shape)
+    assert d % group == 0
+
+    def im_cache(li_dim):
+        return lambda b, idx, pos: (idx[0], b, 0, 0, pos[b] // LANEBLK)
+
+    spec_c = pl.BlockSpec((None, 1, KVH, d, LANEBLK), im_cache(0),
+                          memory_space=pltpu.VMEM)
+    spec_e = pl.BlockSpec((None, 1, KVH, d // group, LANEBLK), im_cache(0),
+                          memory_space=pltpu.VMEM)
+    spec_new = pl.BlockSpec((1, KVH, 1, d), lambda b, idx, pos: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # flat inputs: [idx, pos, kh, vh, kc, ke, vc, ve] → cache arrays start
+    # at flat index 4
+    aliases = {4 + i: i for i in range(4)}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[spec_new, spec_new, spec_c, spec_e, spec_c, spec_e],
+        out_specs=[spec_c, spec_e, spec_c, spec_e],
+    )
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                  for a in cache_arrays]
+    return tuple(pl.pallas_call(
+        functools.partial(_kernel_fused, group=group),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(
+        jnp.asarray(layer_index, jnp.int32).reshape(1),
+        positions.astype(jnp.int32),
+        kh.astype(jnp.float32),
+        vh.astype(jnp.float32),
+        *cache_arrays,
     ))

@@ -19,18 +19,28 @@ import jax
 import jax.numpy as jnp
 
 
-def mx8_encode(x: jnp.ndarray, group: int = 16):
+def mx8_encode(x: jnp.ndarray, group: int = 16, zero_fill: float | None = None):
     """(…, F) float → (codes int8, exps int8) with groups along the last dim.
 
     Same numerics as `block_fp_quantizer(width=8, block_size=[1, group],
     skip_first_dim=True)` for F divisible by `group`.
+
+    ``zero_fill``: absmax stand-in for all-zero groups (their codes are 0
+    and decode to 0 either way — only the stored exponent byte depends on
+    it). None reproduces `block_fp_quantizer`'s data-dependent
+    min-nonzero-absmax fill (collectives parity); the KV-cache writers pass
+    1.0 so the fused Pallas cache-write kernel — which sees one slot at a
+    time and cannot compute a global min — produces byte-identical caches.
     """
     *lead, f = x.shape
     assert f % group == 0, (f, group)
     xf = x.astype(jnp.float32).reshape(*lead, f // group, group)
     bmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    nz_min = jnp.min(jnp.where(bmax != 0, bmax, jnp.inf))
-    fill = jnp.where(jnp.isinf(nz_min), jnp.float32(1.0), nz_min)
+    if zero_fill is None:
+        nz_min = jnp.min(jnp.where(bmax != 0, bmax, jnp.inf))
+        fill = jnp.where(jnp.isinf(nz_min), jnp.float32(1.0), nz_min)
+    else:
+        fill = jnp.float32(zero_fill)
     bmax = jnp.where(bmax == 0, fill, bmax)
     e = jnp.clip(jnp.ceil(jnp.log2(bmax)), -127, 128)
     sign = jnp.sign(xf + 1e-9)

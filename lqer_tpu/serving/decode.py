@@ -538,13 +538,31 @@ def _cache_write_full(cache, li, kh, vh, positions):
     copies when they fed a pallas kernel (cache is the dominant decode
     stream — see dequant_gemm._fused_call for the root cause)."""
     B = kh.shape[0]
-    if "k_codes" in cache:
-        from ..parallel.collectives import mx8_encode
+    s = kh.shape[2]
+    quantized = "k_codes" in cache
+    if quantized:
         from .kv_cache import cache_group
 
         group = cache_group(cache)
-        k_c, k_e = mx8_encode(kh, group)
-        v_c, v_e = mx8_encode(vh, group)
+        if s == 1 and cache["k_codes"].shape[-1] % 128 == 0:
+            # fused encode+write: ONE aliased Pallas call quantizes the new
+            # rows in-kernel and blends them into the aligned windows — the
+            # XLA-side mx8_encode + (…, d, 1) swapaxes relayouts alone cost
+            # ~0.14 ms/layer (bench_step_split, round 4), the old DUS chain
+            # ~0.84 ms/layer.
+            from ..ops.pallas.cache_write import write_kv_tokens_fused
+
+            keys = ("k_codes", "k_exps", "v_codes", "v_exps")
+            updated = write_kv_tokens_fused(
+                tuple(cache[k] for k in keys), kh, vh, li, positions,
+                group=group)
+            out = dict(cache)
+            out.update(dict(zip(keys, updated)))
+            return out
+        from ..parallel.collectives import mx8_encode
+
+        k_c, k_e = mx8_encode(kh, group, zero_fill=1.0)
+        v_c, v_e = mx8_encode(vh, group, zero_fill=1.0)
         # codes AND exps stored transposed: token axis last
         # (see init_quantized_kv_cache)
         news = {"k_codes": jnp.swapaxes(k_c, -1, -2),
@@ -553,7 +571,6 @@ def _cache_write_full(cache, li, kh, vh, positions):
                 "v_exps": jnp.swapaxes(v_e, -1, -2)}
     else:
         news = {"k": kh, "v": vh}
-    s = kh.shape[2]
 
     def tok_dim(key):  # cache dim holding the token axis
         return 3 if key in ("k", "v") else 4

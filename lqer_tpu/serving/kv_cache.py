@@ -145,8 +145,11 @@ def update_layer_cache_quantized(
     from ..parallel.collectives import mx8_decode, mx8_encode
 
     group = cache_group(cache)
-    k_c, k_e = mx8_encode(k_new, group)
-    v_c, v_e = mx8_encode(v_new, group)
+    # zero_fill=1.0: deterministic all-zero-group exponent so the fused
+    # Pallas cache-write kernel (per-slot view, no global min) produces
+    # byte-identical caches (`cache_write.write_kv_tokens_fused`)
+    k_c, k_e = mx8_encode(k_new, group, zero_fill=1.0)
+    v_c, v_e = mx8_encode(v_new, group, zero_fill=1.0)
 
     def upd_t(c, n, p):  # token axis last (codes and exps alike)
         return jax.lax.dynamic_update_slice(c, n, (0, 0, p))

@@ -187,6 +187,48 @@ def test_quantized_kv_cache_decode():
     assert q8 == fp, (q8, fp)
 
 
+def test_fused_cache_write_matches_encode_write():
+    """The fused in-kernel MXINT8 encode+write must be BYTE-identical to
+    mx8_encode(zero_fill=1.0) + write_kv_rows_stacked — including the
+    exponent-field ceil-log2 bit trick on exact powers of two and all-zero
+    groups."""
+    import numpy as np
+
+    from lqer_tpu.ops.pallas.cache_write import (
+        write_kv_rows_stacked,
+        write_kv_tokens_fused,
+    )
+    from lqer_tpu.parallel.collectives import mx8_encode
+
+    NL, B, KVH, d, L, g = 2, 2, 4, 32, 128, 16
+    rng = np.random.default_rng(3)
+    cache = tuple(
+        jnp.asarray(rng.integers(-90, 90, s), jnp.int8)
+        for s in [(NL, B, KVH, d, L), (NL, B, KVH, d // g, L),
+                  (NL, B, KVH, d, L), (NL, B, KVH, d // g, L)]
+    )
+    kh = jnp.asarray(rng.standard_normal((B, KVH, 1, d)), jnp.float32)
+    vh = jnp.asarray(rng.standard_normal((B, KVH, 1, d)), jnp.float32)
+    # corner rows: exact powers of two (1-ulp log2 error would flip the
+    # exponent), an all-zero group, denormal-small values
+    kh = kh.at[0, 0, 0, :g].set(2.0 ** jnp.arange(-8, 8, dtype=jnp.float32))
+    kh = kh.at[0, 1, 0, :g].set(0.0)
+    vh = vh.at[1, 0, 0, :g].set(1e-38)
+    pos = jnp.asarray([5, 127], jnp.int32)
+    li = jnp.asarray([1], jnp.int32)
+
+    got = write_kv_tokens_fused(cache, kh, vh, li, pos, group=g,
+                                interpret=True)
+
+    k_c, k_e = mx8_encode(kh, g, zero_fill=1.0)
+    v_c, v_e = mx8_encode(vh, g, zero_fill=1.0)
+    news = (jnp.swapaxes(k_c, -1, -2), jnp.swapaxes(k_e, -1, -2),
+            jnp.swapaxes(v_c, -1, -2), jnp.swapaxes(v_e, -1, -2))
+    ref = write_kv_rows_stacked(cache, news, li, pos, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_quantized_cache_memory_layout():
     from lqer_tpu.serving.kv_cache import init_quantized_kv_cache
 

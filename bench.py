@@ -179,24 +179,94 @@ def main():
         tok, cache = state
         return chain_dense(tok, cache, stacked_dense, rest)
 
+    # ---- strongest-dense secondary yardstick (VERDICT r3 item 4) --------
+    # XLA's eager bf16-cache attention streams at ~216 GB/s and is the dense
+    # step's dominant cost (37 of 61 ms, bench_step_split round 4); giving
+    # the dense side this framework's fp decode-attention kernel
+    # (LQER_FP_ATTN_KERNEL) is the best baseline we can construct. Reported
+    # as dense_kernel_step_ms + vs_best_baseline next to the primary
+    # XLA-only vs_baseline.
+    os.environ["LQER_FP_ATTN_KERNEL"] = "1"
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def chain_dense_k(tokens, cache, stacked_d, rest):
+        def it(state, _):
+            tok, cache = state
+            logits, cache = llama_step_scan(
+                {}, tok[:, None], cache, positions, cfg, None,
+                stacked=stacked_d, rest=rest, backend_stacked=None,
+            )
+            return (jnp.argmax(logits[:, 0, :], -1).astype(jnp.int32),
+                    cache), None
+
+        state, _ = jax.lax.scan(it, (tokens, cache), None, length=iters)
+        return state
+
+    cache_dk = make_cache(cfg, slots, ctx, jnp.bfloat16)
+    state_dk = (jnp.zeros((slots,), jnp.int32), cache_dk)
+    # trace now (env read at trace time), then restore the default
+    state_dk = chain_dense_k(*state_dk, stacked_dense, rest)
+    jax.device_get(state_dk[0])
+    del os.environ["LQER_FP_ATTN_KERNEL"]
+
+    def dense_k_fn(state):
+        tok, cache = state
+        return chain_dense_k(tok, cache, stacked_dense, rest)
+
     tok0 = jnp.zeros((slots,), jnp.int32)
     repeats = REPEATS if on_tpu else 1
     trace_dir = os.environ.get("BENCH_TRACE")  # profiler capture (xprof)
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
-    t_f, t_d = [], []
+    t_f, t_d, t_dk = [], [], []
     state_f, state_d = (tok0, cache_f), (tok0, cache_d)
     for r in range(repeats):
         t, state_f = _bench(fused_fn, state_f, iters, warmup=(r == 0))
         t_f.append(t * scale)
         t, state_d = _bench(dense_fn, state_d, iters, warmup=(r == 0))
         t_d.append(t * scale)
+        t, state_dk = _bench(dense_k_fn, state_dk, iters, warmup=False)
+        t_dk.append(t * scale)
     if trace_dir:
         jax.profiler.stop_trace()
         print(f"[bench] profiler trace written to {trace_dir}", file=sys.stderr)
     t_fused, t_dense = min(t_f), min(t_d)
+    t_dense_k = min(t_dk)
     ratio = t_dense / t_fused
     tokens_per_s = slots / t_fused
+
+    # ---- prefill throughput (VERDICT r3 item 8): one 2048-token chunk ----
+    # through the eval-through-kernels forward (fused linears + prefill
+    # attention kernel) — the README's "eval through kernels" number, now
+    # tracked by the driver-visible bench alongside decode.
+    arch_fwd = models.get_arch_module(cfg).forward
+    pf_ids = jnp.zeros((1, ctx), jnp.int32)
+    pf_iters = max(2, iters // 8)
+
+    @jax.jit
+    def chain_prefill(ids, params, b_arrays):
+        def it(ids, _):
+            logits = arch_fwd(params, ids, cfg, qcfgs,
+                              backend={"arrays": b_arrays,
+                                       "meta": backend["meta"]})
+            nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+            return ids.at[:, 0].set(nxt), None
+
+        ids, _ = jax.lax.scan(it, ids, None, length=pf_iters)
+        return ids
+
+    def pf_fn(ids):
+        return chain_prefill(ids, params, backend["arrays"])
+
+    t_p = []
+    st = pf_ids
+    for r in range(repeats):
+        t, st = _bench(pf_fn, st, pf_iters, warmup=(r == 0))
+        t_p.append(t * scale)
+    t_prefill = min(t_p)
+    prefill_tok_s = ctx / t_prefill
+    print(f"[bench] prefill {ctx}-token chunk: {t_prefill*1e3:.1f} ms "
+          f"({prefill_tok_s:.0f} tok/s at 32 layers)", file=sys.stderr)
 
     # ---- speed-of-light accounting (per full 32-layer step) ---------------
     h, inter, kv = cfg.hidden_size, cfg.intermediate_size, \
@@ -216,6 +286,7 @@ def main():
     print(
         f"[bench] backend={jax.default_backend()} FULL-STEP "
         f"fused={t_fused*1e3:.2f}ms dense={t_dense*1e3:.2f}ms "
+        f"dense+fp-kernel={t_dense_k*1e3:.2f}ms "
         f"(min of {repeats}; fused spread "
         f"{min(t_f)*1e3:.2f}-{max(t_f)*1e3:.2f}ms) "
         f"stream={fused_bytes/1e9:.2f}GB/step (dense {dense_bytes/1e9:.1f}) "
@@ -232,6 +303,12 @@ def main():
         "frac_of_sol": round(frac, 3),
         "ctx": ctx,
         "batch": slots,
+        "prefill_tokens_per_s": round(prefill_tok_s, 0),
+        "prefill_chunk_ms": round(t_prefill * 1e3, 2),
+        # strongest constructible baseline: dense XLA linears + this
+        # framework's fp decode-attention kernel (LQER_FP_ATTN_KERNEL)
+        "dense_kernel_step_ms": round(t_dense_k * 1e3, 2),
+        "vs_best_baseline": round(t_dense_k / t_fused, 3),
     }))
 
 

@@ -92,9 +92,12 @@ def build_dequantized_params(config, cfg, method: str, model_dir, dtype,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", type=str)
-    ap.add_argument("--method", default="fp32",
+    ap.add_argument("--method", default=None,
                     choices=(sorted(METHOD_DTYPES) + list(QUANT_METHODS)
-                             + list(INT_METHODS)))
+                             + list(INT_METHODS)),
+                    help="quantization method; defaults to the config's "
+                         "evaluate.hf_quant_method (the reference's "
+                         "configs/baseline/*.toml key), else fp32")
     ap.add_argument("--int8-threshold", type=float, default=6.0,
                     help="LLM.int8() outlier threshold (bitsandbytes "
                          "default 6.0)")
@@ -107,6 +110,12 @@ def main():
     args = ap.parse_args()
 
     config = load_config(args.config)
+    if args.method is None:
+        args.method = (config.get("evaluate", {}).get("hf_quant_method")
+                       or "fp32")
+        # the reference maps its llm_int8/llm_int4 strings via load_in_Xbit
+        assert args.method in (sorted(METHOD_DTYPES) + list(QUANT_METHODS)
+                               + list(INT_METHODS)), args.method
     dtype = _get_dtype(METHOD_DTYPES.get(args.method, "float32"))
     cfg = build_model_config(config)
     qcfgs = None
@@ -123,7 +132,10 @@ def main():
     eval_ppl_config = config["evaluate"]["perplexity"]
     test = _get_split(eval_ppl_config, config, "test")
 
-    fwd = jax.jit(lambda ids: models.forward(params, ids, cfg, qcfgs))
+    # params as a jit ARGUMENT — closed-over params become HLO constants
+    # (remote compilers reject real-size models; see .claude/skills/verify)
+    fwd2 = jax.jit(lambda p, ids: models.forward(p, ids, cfg, qcfgs))
+    fwd = lambda ids: fwd2(params, ids)  # noqa: E731
     results = evaluate_perplexity(
         fwd,
         test,

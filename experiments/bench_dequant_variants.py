@@ -700,6 +700,55 @@ def make_cidx_step(variant, L, M, N, K, tile_n, tile_k, group=16, mb=3):
     return step
 
 
+def make_cidx_step_t(L, M, N, K, tile_n, tile_k, group=16, mb=3):
+    """cistream with k-contiguous tile storage (L, n_n, n_k, S, tile_n)."""
+    n_k = K // tile_k
+    S = tile_k // 2 + tile_k // group
+    S += -S % 32
+    kern0 = functools.partial(_copacked_kernel, variant="cstream",
+                              group=group, mb=mb, tile_k=tile_k)
+
+    def kern(idx_ref, x_ref, t_ref, o_ref, acc):
+        del idx_ref
+        return kern0(x_ref, t_ref, o_ref, acc)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1, N // tile_n, n_k),
+        in_specs=[
+            pl.BlockSpec((max(M, 8), tile_k),
+                         lambda m, n, k, idx: (m, k)),
+            pl.BlockSpec((None, None, None, S, tile_n),
+                         lambda m, n, k, idx: (idx[0], n, k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((max(M, 8), tile_n),
+                               lambda m, n, k, idx: (m, n)),
+        scratch_shapes=[pltpu.VMEM((max(M, 8), tile_n), jnp.float32)],
+    )
+
+    def one(x, idx, tiles_all):
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((max(M, 8), N), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        )(idx, x, tiles_all)
+
+    EPS = jnp.bfloat16(1e-4)
+
+    @jax.jit
+    def step(x, tiles_t):
+        def body(x, idx):
+            y = one(x, idx, tiles_t)
+            return x + y[:, :K] * EPS, None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(L, dtype=jnp.int32)[:, None])
+        return x
+
+    return step
+
+
 def make_copacked_step(variant, L, M, N, K, tile_n, tile_k, group=16, mb=3):
     kern = functools.partial(_copacked_kernel, variant=variant, group=group,
                              mb=mb, tile_k=tile_k)
@@ -874,6 +923,14 @@ def main():
             step = make_cidx_step(variant, L, M, N, K, args.tile_n,
                                   args.tile_k)
             fn = lambda x: step(x, tiles_l)
+            nbytes = int(tiles_l.size)
+        elif variant == "cistream_t":
+            # k-contiguous tile order: storage (L, n_n, n_k, S, tn) so the
+            # k-innermost grid walks ADJACENT memory (latency/prefetch
+            # hypothesis for the pallas-vs-XLA-dot fetch gap)
+            step = make_cidx_step_t(L, M, N, K, args.tile_n, args.tile_k)
+            tiles_t = jnp.swapaxes(tiles_l, 1, 2)
+            fn = lambda x: step(x, tiles_t)
             nbytes = int(tiles_l.size)
         elif variant.startswith("mstream") or variant.startswith("mdma"):
             base, _, nb = variant.partition(":")

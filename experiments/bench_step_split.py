@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cases", nargs="+",
                     default=["full", "noattn", "nowrite", "nohead", "bare"])
+    ap.add_argument("--dense", action="store_true",
+                    help="split the DENSE bf16 baseline step instead "
+                         "(bench.py's yardstick: fp weights, bf16 cache)")
     args = ap.parse_args()
 
     import dataclasses
@@ -60,6 +63,26 @@ def main():
     stacked, rest = arch_mod.stack_layer_params(params, cfg)
     bs = dec.stack_backend(backend, cfg)
     qcfg0 = qcfgs[0] if qcfgs else None
+    if args.dense:
+        # same construction as bench.py's dense side: random bf16 weights,
+        # no backend, no per-layer q-config, bf16 KV cache
+        h, inter = cfg.hidden_size, cfg.intermediate_size
+        kv = cfg.kv_heads * cfg.head_dim
+        shapes = {
+            "self_attn.q_proj": (h, h), "self_attn.k_proj": (kv, h),
+            "self_attn.v_proj": (kv, h), "self_attn.o_proj": (h, h),
+            "mlp.gate_proj": (inter, h), "mlp.up_proj": (inter, h),
+            "mlp.down_proj": (h, inter),
+        }
+        ks = jax.random.split(jax.random.PRNGKey(7), len(shapes))
+        for j, (rel, (o, ic)) in enumerate(sorted(shapes.items())):
+            stacked[f"{rel}.weight"] = (jax.random.normal(
+                ks[j], (args.layers, o, ic), jnp.bfloat16) * 0.01
+            ).astype(jnp.bfloat16)
+            stacked.pop(f"{rel}.A", None)
+            stacked.pop(f"{rel}.B", None)
+        qcfg0 = None
+        bs = {"arrays": None, "meta": None}
     NL = cfg.num_hidden_layers
     positions = jnp.full((SLOTS,), args.ctx - 2, jnp.int32)
 
@@ -80,7 +103,9 @@ def main():
             else orig_write
         nohead = case in ("nohead", "bare")
 
-        cache = dec.make_cache(cfg, SLOTS, args.ctx, "mxint8")
+        cache = dec.make_cache(
+            cfg, SLOTS, args.ctx,
+            jnp.bfloat16 if args.dense else "mxint8")
 
         @partial(jax.jit, donate_argnums=(1,))
         def chain(tokens, cache, stacked, rest, b_arrays, nohead=nohead):
@@ -89,7 +114,8 @@ def main():
                 logits, cache = dec.llama_step_scan(
                     {}, tok[:, None], cache, positions, cfg, qcfg0,
                     stacked=stacked, rest=rest,
-                    backend_stacked={"arrays": b_arrays, "meta": bs["meta"]},
+                    backend_stacked=None if args.dense else
+                    {"arrays": b_arrays, "meta": bs["meta"]},
                 )
                 nxt = (jnp.sum(logits[:, 0, :8], axis=-1).astype(jnp.int32)
                        % 100) if nohead else \

@@ -124,8 +124,14 @@ def plan(models: list[str]) -> int:
             ok = False
         print(f"{name:<16} {tmpl:<22} {fp:>8.4f} {lq:>8.4f} "
               f"{lq + ACCEPTANCE_PPL:>9.4f}  {status}")
-    print("\nRun matrix per model: "
-          "[1] baselines.py --method fp16 (FP row)  "
+    base_dir = TEMPLATES.parent / "baseline"
+    have = sorted(p.stem for p in base_dir.glob("*.toml"))
+    print(f"\nBaseline-eval configs (reference configs/baseline/ rows): "
+          f"{len(have)} present in {base_dir}")
+    print("Run matrix per model: "
+          "[1] baselines.py --method fp16 (FP row) — or "
+          "baselines.py experiments/configs/baseline/<model>.toml for the "
+          "reference's quantized-baseline rows (AWQ/GPTQ/LLM.int8/int4)  "
           "[2] pipeline.py <template> <published overrides> "
           "(profile→approximate→ppl→harness)")
     print("Artifacts: <ckpt>/evaluate_perplexity/wikitext2.json, "

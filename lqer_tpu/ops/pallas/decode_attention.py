@@ -90,10 +90,13 @@ def _kernel(*refs, scaling, scale_query, window, group, q_mb, k_mb, p_mb,
     if window is not None:
         ok = jnp.logical_and(ok, kv_idx > pos - window)
 
-    outs = []
+    # ---- phase 1: all heads' scores, (L, n_rep) columns -----------------
+    # softmax / probs-quantize run ONCE on the whole (L, H_blk) chunk — per
+    # head they ran on (L, 1) planes at 1/128 lane utilization (round-3
+    # kernel's dominant VPU cost beyond the stream itself).
+    cols = []
     for kv in range(kvh):
         k = k_ref[0, kv].astype(jnp.float32)        # (L, d)
-        v = v_ref[0, kv].astype(jnp.float32)        # (L, d)
         q_kv = qs[kv * n_rep:(kv + 1) * n_rep]      # (n_rep, d)
         # K^T quantization: 16-TOKEN groups (sublanes of (L, d))
         if k_mb is not None:
@@ -102,26 +105,30 @@ def _kernel(*refs, scaling, scale_query, window, group, q_mb, k_mb, p_mb,
         # transposed scores: (L, n_rep) = K · q^T. f32 operands: quantized
         # grids make the products exact; Mosaic rejects mixed bf16->f32
         # broadcasts at these widths, and the dot is tiny vs the stream.
-        s_t = jax.lax.dot_general(
+        cols.append(jax.lax.dot_general(
             k, q_kv,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        if not scale_query:
-            s_t = s_t * scaling
-        s_t = jnp.where(ok, s_t, -jnp.inf)
+        ))
+    s_t = cols[0] if kvh == 1 else jnp.concatenate(cols, axis=1)  # (L, H_blk)
+    if not scale_query:
+        s_t = s_t * scaling
+    s_t = jnp.where(ok, s_t, -jnp.inf)
+    m = jnp.max(s_t, axis=0, keepdims=True)
+    p = jnp.exp(s_t - m)
+    p = p / jnp.sum(p, axis=0, keepdims=True)       # (L, H_blk) f32
+    if p_mb is not None:
+        p = _quantize_sublane_groups(p, p_mb, group)
 
-        m = jnp.max(s_t, axis=0, keepdims=True)
-        p = jnp.exp(s_t - m)
-        p = p / jnp.sum(p, axis=0, keepdims=True)   # (L, n_rep) f32
-        if p_mb is not None:
-            p = _quantize_sublane_groups(p, p_mb, group)
-
+    # ---- phase 2: P·V per head -----------------------------------------
+    outs = []
+    for kv in range(kvh):
         # V quantization: 16-wide d groups -> transpose to sublanes
-        vt = v.T                                     # (d, L)
+        vt = v_ref[0, kv].astype(jnp.float32).T      # (d, L)
         if v_mb is not None:
             vt = _quantize_sublane_groups_signed(vt, v_mb, group)
-        o_t = jnp.dot(vt, p, preferred_element_type=jnp.float32)  # (d, n_rep)
+        o_t = jnp.dot(vt, p[:, kv * n_rep:(kv + 1) * n_rep],
+                      preferred_element_type=jnp.float32)  # (d, n_rep)
         outs.append(o_t.T)                           # (n_rep, d)
 
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -510,8 +517,13 @@ def supports_decode_attention(attn_cfg) -> bool:
 
 def decode_attention_widths(attn_cfg) -> dict:
     """Widths for the fp-cache kernel (all four operand quantizers run
-    in-kernel)."""
+    in-kernel). Fp (unquantized) attention configs map to all-None widths —
+    the kernel then runs pure bf16/f32 flash-style decode attention (the
+    ``LQER_FP_ATTN_KERNEL`` serving mode)."""
     qk, pv = attn_cfg.qk_cfg, attn_cfg.pv_cfg
+    if qk is None and pv is None:
+        return {"q_width": None, "k_width": None,
+                "p_width": None, "v_width": None}
     return {
         "q_width": (qk.get("x_quantizer") or qk.get("default"))["width"],
         "k_width": (qk.get("w_quantizer") or qk.get("default"))["width"],

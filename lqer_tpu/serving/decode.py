@@ -170,7 +170,14 @@ def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
 def _use_attn_kernel(backend, s, attn_cfg, max_len, head_dim) -> bool:
     """Fused decode-attention eligibility: serving (Pallas backend) decode
     step with the canonical MXINT attention formats and 16-aligned dims.
-    ``LQER_DISABLE_ATTN_KERNEL=1`` forces the eager path (A/B testing)."""
+    ``LQER_DISABLE_ATTN_KERNEL=1`` forces the eager path (A/B testing).
+    ``LQER_FP_ATTN_KERNEL=1`` additionally routes UNQUANTIZED (fp config)
+    decode attention through the kernel with all operand quantizers off —
+    XLA's eager bf16-cache attention streams at ~216 GB/s vs the kernel's
+    ~365 (measured round 4; it is the dense baseline's dominant cost), but
+    the kernel's f32 accumulation order differs from the XLA dot's, so the
+    fp mode stays opt-in rather than silently perturbing exact-token
+    tests."""
     import os
 
     if os.environ.get("LQER_DISABLE_ATTN_KERNEL"):
@@ -178,8 +185,11 @@ def _use_attn_kernel(backend, s, attn_cfg, max_len, head_dim) -> bool:
     # below ~128 cache slots the eager path's whole-cache quantize is cheap
     # and the kernel's per-(slot, head) program overhead dominates (measured
     # crossover on v5e, experiments/bench_e2e_llama7b.py)
-    if backend is None or s != 1 or max_len < 128 or max_len % 16 != 0 \
-            or head_dim % 16 != 0:
+    if s != 1 or max_len < 128 or max_len % 16 != 0 or head_dim % 16 != 0:
+        return False
+    if attn_cfg.qk_cfg is None and attn_cfg.pv_cfg is None:
+        return bool(os.environ.get("LQER_FP_ATTN_KERNEL"))
+    if backend is None:
         return False
     from ..ops.pallas.decode_attention import supports_decode_attention
 

@@ -152,3 +152,42 @@ def test_template_smoke_pipeline(stem, tmp_path):
     assert (ckpt / "approximate").exists()
     ppl_files = list((ckpt / "evaluate_perplexity").glob("*.json"))
     assert ppl_files, list(ckpt.rglob("*"))
+
+
+BASELINE_DIR = TEMPLATE_DIR.parent / "baseline"
+
+
+def test_baseline_configs_inventory():
+    """12 baseline-eval configs mirroring the reference's
+    `experiments/configs/baseline/` rows (VERDICT r3 item 7)."""
+    stems = sorted(p.stem for p in BASELINE_DIR.glob("*.toml"))
+    assert len(stems) == 12, stems
+    for ref in ("opt-6.7b", "opt-13b_autogptq", "llama-7b", "llama-30b",
+                "mistral-7b", "llama-1.1b"):
+        assert ref in stems, stems
+
+
+@pytest.mark.parametrize(
+    "path", sorted(BASELINE_DIR.glob("*.toml")), ids=lambda p: p.stem)
+def test_baseline_config_resolves(path):
+    """Each baseline config parses, resolves to a known model config, and
+    names a method `experiments/baselines.py` accepts as its default."""
+    import sys
+
+    sys.path.insert(0, str(TEMPLATE_DIR.parents[2]))
+    from experiments.baselines import (
+        INT_METHODS,
+        METHOD_DTYPES,
+        QUANT_METHODS,
+    )
+    from lqer_tpu.runners import build_model_config
+
+    cfg = load_config(path)
+    arch_cfg = build_model_config(cfg)
+    assert arch_cfg.num_hidden_layers > 0
+    method = cfg["evaluate"]["hf_quant_method"]
+    assert method in (list(METHOD_DTYPES) + list(QUANT_METHODS)
+                      + list(INT_METHODS)), method
+    ppl = cfg["evaluate"]["perplexity"]
+    assert ppl["dataset"] == "wikitext2" and ppl["max_length"] == 2048
+    assert cfg["evaluate"]["harness_downstream"]["datasets"]

@@ -70,8 +70,16 @@ def main():
     NL, B, KVH, L, d = args.layers, args.batch, 32, args.ctx, 128
     H, g = 32, 16
     key = jax.random.PRNGKey(0)
-    kf = jax.random.normal(key, (NL, B, KVH, L, d), jnp.float32)
-    k_c, k_e = mx8_encode(kf, g)
+    if L * NL <= 8 * 2048:
+        kf = jax.random.normal(key, (NL, B, KVH, L, d), jnp.float32)
+        k_c, k_e = mx8_encode(kf, g)
+    else:
+        # long-ctx: build codes directly (an f32 source + int32
+        # intermediates would OOM the 16 GB HBM at 32K ctx)
+        k_c = jax.random.randint(key, (NL, B, KVH, L, d), -127, 128,
+                                 jnp.int8)
+        k_e = jax.random.randint(jax.random.PRNGKey(2),
+                                 (NL, B, KVH, L, d // g), -3, 3, jnp.int8)
     # distinct bytes, same stats (clip avoids int8 wraparound at 127)
     v_c, v_e = jnp.clip(k_c.astype(jnp.int32) + 1, -127, 127).astype(jnp.int8), k_e
     # codes AND exps stored transposed (token axis last) — kv_cache layout
@@ -79,8 +87,10 @@ def main():
              "k_exps": jnp.swapaxes(k_e, -1, -2),
              "v_codes": jnp.swapaxes(v_c, -1, -2),
              "v_exps": jnp.swapaxes(v_e, -1, -2)}
-    cache_bf = {"k": mx8_decode(k_c, k_e, g, jnp.bfloat16),
-                "v": mx8_decode(v_c, v_e, g, jnp.bfloat16)}
+    cache_bf = None
+    if "xla" in args.cases:  # 2x bf16 cache — OOM at 32K ctx, build lazily
+        cache_bf = {"k": mx8_decode(k_c, k_e, g, jnp.bfloat16),
+                    "v": mx8_decode(v_c, v_e, g, jnp.bfloat16)}
     positions = jnp.full((B,), L - 2, jnp.int32)
     q0 = jax.random.normal(jax.random.PRNGKey(1), (B, H, 1, d), jnp.float32)
     scaling = d ** -0.5
@@ -115,7 +125,24 @@ def main():
 
     for case in args.cases:
         try:
-            if case in ("qfull", "qnoreq"):
+            if case == "qstream":
+                # two-pass chunked-L kernel (L beyond VMEM residency)
+                from lqer_tpu.ops.pallas.decode_attention import (
+                    decode_attention_quantized_streaming,
+                )
+
+                kw = dict(scaling=scaling, q_width=8, p_width=8,
+                          l_chunk=2048, interpret=False)
+
+                def per_layer(q, li, kv, kw=kw):
+                    return decode_attention_quantized_streaming(
+                        q, kv["k_codes"], kv["k_exps"],
+                        kv["v_codes"], kv["v_exps"], positions,
+                        layer_index=li, **kw)
+
+                chain, chain_kv = make_chain(per_layer), cache
+                total = 3 * qbytes // 2  # K read twice
+            elif case in ("qfull", "qnoreq"):
                 # round 4: quantize-once-at-write — no k/v use-time widths.
                 # qnoreq now ablates only the remaining q/p quantization.
                 w = 8 if case == "qfull" else None

@@ -78,6 +78,11 @@ def write_kv_rows_stacked(
     1-sized token axis. ``layer_index``: scalar int32. ``positions``: (B,)
     int32 row per slot. Returns the updated arrays (same buffers, aliased in
     place on TPU).
+
+    PRECONDITION: positions[b] must be in [0, max_len). An out-of-range
+    position makes the BlockSpec index map clamp to the LAST aligned
+    window and the token silently lands in the wrong row — the engine
+    guarantees in-bounds positions; external callers must too.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -224,6 +224,24 @@ def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
         )
 
         if quant_slices is not None:
+            L = quant_slices["k_codes"].shape[-1]
+            d = qh.shape[-1]
+            # whole-L per-head VMEM residency wall (see _kvh_chunk): beyond
+            # it, stream L in chunks (two-pass kernel; K read twice)
+            from ..ops.pallas.decode_attention import (
+                _kvh_chunk_fits,
+                decode_attention_quantized_streaming,
+            )
+
+            if not _kvh_chunk_fits(L, d):
+                return decode_attention_quantized_streaming(
+                    qh, quant_slices["k_codes"], quant_slices["k_exps"],
+                    quant_slices["v_codes"], quant_slices["v_exps"],
+                    positions, scaling=scaling, scale_query=scale_query,
+                    window=window, interpret=interpret,
+                    layer_index=layer_index,
+                    **decode_attention_widths_quantized(attn_cfg),
+                )
             return decode_attention_quantized(
                 qh, quant_slices["k_codes"], quant_slices["k_exps"],
                 quant_slices["v_codes"], quant_slices["v_exps"],

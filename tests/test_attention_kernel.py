@@ -319,6 +319,100 @@ class TestDecodeAttention:
                                    atol=1e-5, rtol=1e-5)
 
 
+class TestStreamingDecodeAttention:
+    """Two-pass chunked-L decode attention (L beyond VMEM residency)."""
+
+    _mk = TestDecodeAttention._mk
+    _eager = TestDecodeAttention._eager
+
+    def test_matches_eager_and_one_pass(self):
+        from lqer_tpu.ops.pallas.decode_attention import (
+            decode_attention_quantized,
+            decode_attention_quantized_streaming,
+            decode_attention_widths_quantized,
+        )
+        from lqer_tpu.parallel.collectives import mx8_decode, mx8_encode
+
+        q, k, v, pos = self._mk(b=2, h=4, kvh=2, L=512, d=32, seed=13)
+        k_c, k_e = mx8_encode(k, 16)
+        v_c, v_e = mx8_encode(v, 16)
+        args = (jnp.swapaxes(k_c, -1, -2), jnp.swapaxes(k_e, -1, -2),
+                jnp.swapaxes(v_c, -1, -2), jnp.swapaxes(v_e, -1, -2))
+        ref_e, qcfg = self._eager(
+            q, mx8_decode(k_c, k_e, 16, jnp.bfloat16),
+            mx8_decode(v_c, v_e, 16, jnp.bfloat16), pos,
+            kv_pre_quantized=True)
+        widths = decode_attention_widths_quantized(qcfg)
+        one_pass = decode_attention_quantized(
+            q, *args, pos, scaling=q.shape[-1]**-0.5, interpret=True,
+            **widths)
+        stream = decode_attention_quantized_streaming(
+            q, *args, pos, scaling=q.shape[-1]**-0.5, l_chunk=128,
+            interpret=True, **widths)
+        # f32 accumulation order differs (online denominator, chunked o) —
+        # the documented streaming contract is allclose, not bitwise
+        np.testing.assert_allclose(np.asarray(stream), np.asarray(one_pass),
+                                   atol=2e-3, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(stream), np.asarray(ref_e),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_layer_indexed_matches_sliced(self):
+        from lqer_tpu.ops.pallas.decode_attention import (
+            decode_attention_quantized_streaming,
+            decode_attention_widths_quantized,
+        )
+
+        NL = 2
+        per_layer = []
+        stacks = {k: [] for k in ("kc", "ke", "vc", "ve")}
+        for i in range(NL):
+            q, k, v, pos = self._mk(b=2, h=4, kvh=2, L=256, d=32,
+                                    seed=30 + i)
+            k_c, k_e = _enc_t(k)
+            v_c, v_e = _enc_t(v)
+            per_layer.append((q, k_c, k_e, v_c, v_e, pos))
+            for key, a in zip(stacks, (k_c, k_e, v_c, v_e)):
+                stacks[key].append(a)
+        stacked = {k: jnp.stack(v) for k, v in stacks.items()}
+        _, qcfg = self._eager(*self._mk(seed=30)[:4])
+        widths = decode_attention_widths_quantized(qcfg)
+        for i, (q, k_c, k_e, v_c, v_e, pos) in enumerate(per_layer):
+            ref = decode_attention_quantized_streaming(
+                q, k_c, k_e, v_c, v_e, pos, scaling=q.shape[-1]**-0.5,
+                l_chunk=64, interpret=True, **widths)
+            got = decode_attention_quantized_streaming(
+                q, stacked["kc"], stacked["ke"], stacked["vc"],
+                stacked["ve"], pos, scaling=q.shape[-1]**-0.5, l_chunk=64,
+                interpret=True, layer_index=jnp.asarray([i], jnp.int32),
+                **widths)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_window_and_long_l(self):
+        """Sliding window across chunk boundaries + an L=16K CPU-interpret
+        run (the r3 VERDICT item-6 'parity test at L=16K')."""
+        from lqer_tpu.ops.pallas.decode_attention import (
+            decode_attention_quantized_streaming,
+            decode_attention_widths_quantized,
+        )
+        from lqer_tpu.parallel.collectives import mx8_decode, mx8_encode
+
+        q, k, v, pos = self._mk(b=1, h=2, kvh=2, L=16384, d=16, seed=21)
+        k_c, k_e = mx8_encode(k, 16)
+        v_c, v_e = mx8_encode(v, 16)
+        args = (jnp.swapaxes(k_c, -1, -2), jnp.swapaxes(k_e, -1, -2),
+                jnp.swapaxes(v_c, -1, -2), jnp.swapaxes(v_e, -1, -2))
+        ref_e, qcfg = self._eager(
+            q, mx8_decode(k_c, k_e, 16, jnp.bfloat16),
+            mx8_decode(v_c, v_e, 16, jnp.bfloat16), pos,
+            window=4096, kv_pre_quantized=True)
+        widths = decode_attention_widths_quantized(qcfg)
+        out = decode_attention_quantized_streaming(
+            q, *args, pos, scaling=q.shape[-1]**-0.5, l_chunk=2048,
+            window=4096, interpret=True, **widths)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_e),
+                                   atol=2e-3, rtol=2e-3)
+
+
 def _mx8():
     return {"name": "block_fp", "width": 8, "exponent_width": 8,
             "exponent_bias": None, "block_size": [1, 16],

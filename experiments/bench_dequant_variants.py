@@ -528,6 +528,16 @@ def _copacked_kernel(x_ref, t_ref, o_ref, acc, *, variant, group, mb,
             c = codes.astype(jnp.bfloat16)
             return (c.reshape(hg, group, tn) * s[:, None, :]
                     ).reshape(tk2, tn)
+    elif variant == "cbf16mul":
+        # bf16-domain dequant WITHOUT bitcasts: small exp2 in f32, one
+        # astype to bf16 on the small plane, codes astype straight to bf16
+        # — halves the VPU bytes of the multiply vs the f32 intermediate
+        scale = jnp.exp2(e.astype(jnp.float32) - mb).astype(jnp.bfloat16)
+
+        def scaled(codes, s):
+            c = codes.astype(jnp.bfloat16)
+            return (c.reshape(hg, group, tn) * s[:, None, :]
+                    ).reshape(tk2, tn)
     else:  # ctwodot — production math
         scale = jnp.exp2(e.astype(jnp.float32) - mb)
 
@@ -655,7 +665,8 @@ def make_cidx_step(variant, L, M, N, K, tile_n, tile_k, group=16, mb=3):
     n_k = K // tile_k
     S = tile_k // 2 + tile_k // group
     S += -S % 32
-    base = {"cistream": "cstream", "citwodot": "ctwodot"}[variant]
+    base = {"cistream": "cstream", "citwodot": "ctwodot",
+            "cibf16mul": "cbf16mul"}[variant]
     kern0 = functools.partial(_copacked_kernel, variant=base, group=group,
                               mb=mb, tile_k=tile_k)
 
@@ -867,7 +878,7 @@ def main():
     args = ap.parse_args()
     M, N, K, L = args.m, args.n, args.k, args.layers
 
-    COPACKED = ("cstream", "ctwodot", "cbittrick")
+    COPACKED = ("cstream", "ctwodot", "cbittrick", "cbf16mul")
     NEED_TILES = COPACKED + ("mstream", "mdma", "cistream", "citwodot")
     key = jax.random.PRNGKey(0)
     x0 = (jax.random.normal(key, (M, K)) * 0.1).astype(jnp.bfloat16)
@@ -919,7 +930,7 @@ def main():
                                       args.tile_k)
             fn = lambda x: step(x, tiles_l)
             nbytes = int(tiles_l.size)  # whole-step bytes incl. row padding
-        elif variant in ("cistream", "citwodot"):
+        elif variant in ("cistream", "citwodot", "cibf16mul"):
             step = make_cidx_step(variant, L, M, N, K, args.tile_n,
                                   args.tile_k)
             fn = lambda x: step(x, tiles_l)

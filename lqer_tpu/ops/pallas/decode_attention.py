@@ -832,3 +832,227 @@ def decode_attention_quantized_streaming(
         ),
         interpret=interpret,
     )(*pref, *args0, k_codes, k_exps, v_codes, v_exps, stats)
+
+
+# ---------------------------------------------------------------------------
+# Fused write+attend: cache insert merged into the attention kernel
+# ---------------------------------------------------------------------------
+def _kernel_quantized_write(idx_ref, pos_ref, q_ref, kc_ref, ke_ref, vc_ref,
+                            ve_ref, kh_ref, vh_ref, o_ref, kcw_ref, kew_ref,
+                            vcw_ref, vew_ref, *, scaling, scale_query,
+                            window, group, q_mb, p_mb, n_rep, cache_mb,
+                            dot_dtype):
+    """`_kernel_quantized_body` + the cache write in ONE launch: the fresh
+    token's K/V rows are MXINT8-encoded in-kernel (`cache_write._encode_t`,
+    byte-identical to the standalone write kernel), blended into the score/
+    value compute at lane ``pos`` (bitwise equal to write-then-attend — dot
+    columns are independent), and written back through aliased 128-lane
+    window outputs SLICED FROM THE ALREADY-RESIDENT SLAB — no separate
+    window read, no separate launch (the standalone write kernel's RMW read
+    half and its launch both disappear)."""
+    from .cache_write import LANEBLK, _encode_t
+
+    del idx_ref  # consumed by the BlockSpec index maps
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    base = pl.multiple_of((pos // LANEBLK) * LANEBLK, LANEBLK)
+    r = pos % LANEBLK
+    qs = q_ref[0, :, 0, :].astype(jnp.float32)      # (H_blk, d)
+    H, d = qs.shape
+    L = kc_ref.shape[3]
+    kvh = kc_ref.shape[1]
+
+    if scale_query:
+        qs = qs * scaling
+    if q_mb is not None:
+        qs = _quantize_sublane_groups_signed(qs.T, q_mb, group).T
+
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    ok = kv_idx <= pos
+    if window is not None:
+        ok = jnp.logical_and(ok, kv_idx > pos - window)
+
+    # ---- encode the fresh rows for this head chunk --------------------
+    kvals = kh_ref[0, :, 0, :].astype(jnp.float32)  # (kc, d)
+    vvals = vh_ref[0, :, 0, :].astype(jnp.float32)
+    kcod, kexp = _encode_t(kvals.T, group)          # (d, kc), (d/g, kc)
+    vcod, vexp = _encode_t(vvals.T, group)
+
+    def rt(cod, exp):
+        """roundtrip decode — identical math to decode_t below."""
+        scale = jnp.exp2(exp - cache_mb)
+        return (cod.reshape(d // group, group, kvh) * scale[:, None, :]
+                ).reshape(d, kvh).astype(dot_dtype)
+
+    kfresh = rt(kcod, kexp)                          # (d, kvh)
+    vfresh = rt(vcod, vexp)
+
+    def decode_t(c_ref, e_ref, kv):
+        c = c_ref[0, kv].astype(jnp.float32)         # (d, L)
+        e = e_ref[0, kv].astype(jnp.float32)         # (d/g, L)
+        scale = jnp.exp2(e - cache_mb)
+        return (c.reshape(d // group, group, L) * scale[:, None, :]
+                ).reshape(d, L).astype(dot_dtype)
+
+    # ---- phase 1: scores (stale column pos replaced by the fresh one) --
+    rows = []
+    for kv in range(kvh):
+        ktd = decode_t(kc_ref, ke_ref, kv)
+        q_kv = qs[kv * n_rep:(kv + 1) * n_rep].astype(dot_dtype)
+        s_kv = jax.lax.dot_general(
+            q_kv, ktd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s_new = jax.lax.dot_general(
+            q_kv, kfresh[:, kv:kv + 1],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (n_rep, 1)
+        rows.append(jnp.where(kv_idx == pos, s_new, s_kv))
+    s = rows[0] if kvh == 1 else jnp.concatenate(rows, axis=0)
+    if not scale_query:
+        s = s * scaling
+    s = jnp.where(ok, s, -jnp.inf)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    p_t = p.T
+    if p_mb is not None:
+        p_t = _quantize_sublane_groups(p_t, p_mb, group)
+    p_t = p_t.astype(dot_dtype)
+
+    # ---- phase 2: P·V (stale V column replaced likewise) ---------------
+    outs = []
+    for kv in range(kvh):
+        vtd = decode_t(vc_ref, ve_ref, kv)
+        vtd = jnp.where(kv_idx == pos, vfresh[:, kv:kv + 1], vtd)
+        o_t = jnp.dot(vtd, p_t[:, kv * n_rep:(kv + 1) * n_rep],
+                      preferred_element_type=jnp.float32)
+        outs.append(o_t.T)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+    # ---- write-back: blend fresh columns into the slab's lane window ---
+    for slab_ref, w_ref, new_t in ((kc_ref, kcw_ref, kcod),
+                                   (ke_ref, kew_ref, kexp),
+                                   (vc_ref, vcw_ref, vcod),
+                                   (ve_ref, vew_ref, vexp)):
+        win = slab_ref[0, :, :, pl.ds(base, LANEBLK)]   # (kc, *, 128)
+        n = jnp.broadcast_to(
+            new_t.T[:, :, None].astype(win.dtype), win.shape)
+        lane = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
+        w_ref[0, :, :, :] = jnp.where(lane == r, n, win)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scaling", "scale_query", "window", "group",
+                     "q_width", "p_width", "out_dtype", "interpret"),
+)
+def decode_attention_quantized_write(
+    q: jnp.ndarray,          # (B, H, 1, d) RAW queries (rope applied)
+    k_codes: jnp.ndarray,    # (NL, B, KVH, d, L) int8 (layer-stacked ONLY)
+    k_exps: jnp.ndarray,     # (NL, B, KVH, d/16, L)
+    v_codes: jnp.ndarray,
+    v_exps: jnp.ndarray,
+    kh: jnp.ndarray,         # (B, KVH, 1, d) RAW new K rows (pre-encode)
+    vh: jnp.ndarray,
+    positions: jnp.ndarray,  # (B,) int32
+    layer_index,             # (1,) int32
+    *,
+    scaling: float,
+    scale_query: bool = False,
+    window: int | None = None,
+    group: int = 16,
+    q_width: int | None = 8,
+    p_width: int | None = 8,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> tuple:
+    """Fused cache-write + decode attention over the layer-stacked MXINT8
+    cache: returns (attn (B, H, 1, d), k_codes, k_exps, v_codes, v_exps)
+    with the cache arrays updated in place (aliased) — the serving scan's
+    single attention+insert launch. Bitwise equal to
+    `cache_write.write_kv_tokens_fused` followed by
+    `decode_attention_quantized` (parity test in tests/test_serving.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, S, d = q.shape
+    assert S == 1, S
+    assert k_codes.ndim == 5, ("layer-stacked cache required", k_codes.shape)
+    KVH, L = k_codes.shape[-3], k_codes.shape[-1]
+    assert k_codes.shape[-2] == d
+    n_rep = H // KVH
+    assert d // k_exps.shape[-2] == group
+    assert L % 128 == 0, ("aligned cache length required", L)
+    kc = _kvh_chunk(KVH, L, d, 1 + 1 / group)
+    G, Hq = KVH // kc, kc * n_rep
+    LANEBLK = 128
+
+    kernel = functools.partial(
+        _kernel_quantized_write, scaling=scaling, scale_query=scale_query,
+        window=window, group=group, n_rep=n_rep, cache_mb=7.0,
+        q_mb=None if q_width is None else q_width - 1,
+        p_mb=None if p_width is None else p_width - 1,
+        dot_dtype=jnp.float32 if interpret else jnp.bfloat16,
+    )
+
+    spec_c = pl.BlockSpec((None, 1, kc, d, L),
+                          lambda b, g, idx, pos: (idx[0], b, g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_e = pl.BlockSpec((None, 1, kc, d // group, L),
+                          lambda b, g, idx, pos: (idx[0], b, g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_new = pl.BlockSpec((1, kc, 1, d),
+                            lambda b, g, idx, pos: (b, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    win_c = pl.BlockSpec(
+        (None, 1, kc, d, LANEBLK),
+        lambda b, g, idx, pos: (idx[0], b, g, 0, pos[b] // LANEBLK),
+        memory_space=pltpu.VMEM)
+    win_e = pl.BlockSpec(
+        (None, 1, kc, d // group, LANEBLK),
+        lambda b, g, idx, pos: (idx[0], b, g, 0, pos[b] // LANEBLK),
+        memory_space=pltpu.VMEM)
+    spec_q = pl.BlockSpec((1, Hq, 1, d),
+                          lambda b, g, idx, pos: (b, g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, Hq, 1, d),
+                            lambda b, g, idx, pos: (b, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, G),
+        in_specs=[spec_q, spec_c, spec_e, spec_c, spec_e, spec_new,
+                  spec_new],
+        out_specs=[out_spec, win_c, win_e, win_c, win_e],
+    )
+    # flat inputs: idx(0) pos(1) q(2) kc(3) ke(4) vc(5) ve(6) kh(7) vh(8);
+    # outputs: attn(0) + the four aliased cache arrays
+    aliases = {3: 1, 4: 2, 5: 3, 6: 4}
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, H, 1, d), out_dtype),
+        jax.ShapeDtypeStruct(k_codes.shape, k_codes.dtype),
+        jax.ShapeDtypeStruct(k_exps.shape, k_exps.dtype),
+        jax.ShapeDtypeStruct(v_codes.shape, v_codes.dtype),
+        jax.ShapeDtypeStruct(v_exps.shape, v_exps.dtype),
+    ]
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * d,
+            bytes_accessed=2 * B * KVH * L * (d + d // group),
+            transcendentals=B * H * L,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer_index, jnp.int32).reshape(1),
+        positions.astype(jnp.int32),
+        q, k_codes, k_exps, v_codes, v_exps,
+        kh.astype(jnp.float32), vh.astype(jnp.float32),
+    )
+    return tuple(res)

@@ -266,6 +266,32 @@ def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
                    kv_pre_quantized=kv_pre_quantized)
 
 
+def _fused_write_attend(cache, qh, kh, vh, positions, li, attn_cfg, scaling,
+                        scale_query, window, use_ak, max_len, head_dim):
+    """Single-launch cache-insert + decode attention for the scan path
+    (quantized cache, one-pass regime): returns (attn, updated cache) or
+    None when ineligible (fp cache / eager / streaming-L). Bitwise equal to
+    write-then-attend (`decode_attention_quantized_write`)."""
+    if not use_ak or "k_codes" not in cache or max_len % 128 != 0:
+        return None
+    from ..ops.pallas.decode_attention import (
+        _kvh_chunk_fits,
+        decode_attention_quantized_write,
+        decode_attention_widths_quantized,
+    )
+
+    if not _kvh_chunk_fits(max_len, head_dim):
+        return None  # streaming-L regime keeps the two-launch path
+    attn, kc2, ke2, vc2, ve2 = decode_attention_quantized_write(
+        qh, cache["k_codes"], cache["k_exps"], cache["v_codes"],
+        cache["v_exps"], kh, vh, positions, li,
+        scaling=scaling, scale_query=scale_query, window=window,
+        **decode_attention_widths_quantized(attn_cfg),
+    )
+    return attn, {**cache, "k_codes": kc2, "k_exps": ke2,
+                  "v_codes": vc2, "v_exps": ve2}
+
+
 def _quant_slices(cache, use_kernel):
     """FULL layer-stacked MXINT8 cache arrays for the quantized-cache
     kernel (the kernel selects the layer via scalar-prefetch layer_index —
@@ -767,20 +793,29 @@ def llama_step_scan(
                 kh = kh * kv_valid[:, None, :, None]
                 vh = vh * kv_valid[:, None, :, None]
 
-            cache = _cache_write_full(cache, li[0], kh, vh, positions)
-            use_qk = use_ak and "k_codes" in cache
-            if use_ak:
-                k_l = v_l = None  # kernels read the stacked cache in place
+            fused = _fused_write_attend(
+                cache, qh, kh, vh, positions, li, attn_cfg,
+                cfg.head_dim**-0.5, False,
+                getattr(cfg, "sliding_window", None), use_ak, max_len,
+                cfg.head_dim)
+            if fused is not None:
+                attn, cache = fused
             else:
-                k_l, v_l = _cache_layer_views(cache, li[0])
-            attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg,
-                                cfg.head_dim**-0.5, n_rep, False, positions,
-                                getattr(cfg, "sliding_window", None), use_ak,
-                                quant_slices=_quant_slices(cache, use_qk),
-                                layer_index=li,
-                                kv_pre_quantized="k_codes" in cache,
-                                fp_stacked=None if use_qk or not use_ak
-                                else (cache["k"], cache["v"]))
+                cache = _cache_write_full(cache, li[0], kh, vh, positions)
+                use_qk = use_ak and "k_codes" in cache
+                if use_ak:
+                    k_l = v_l = None  # kernels read the stacked cache
+                else:
+                    k_l, v_l = _cache_layer_views(cache, li[0])
+                attn = _attend_auto(
+                    qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+                    n_rep, False, positions,
+                    getattr(cfg, "sliding_window", None), use_ak,
+                    quant_slices=_quant_slices(cache, use_qk),
+                    layer_index=li,
+                    kv_pre_quantized="k_codes" in cache,
+                    fp_stacked=None if use_qk or not use_ak
+                    else (cache["k"], cache["v"]))
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.o_proj",
                               attn_cfg.o_proj, b_meta, b_arrays,
                               layer_index=li)
@@ -880,19 +915,27 @@ def opt_step_scan(
                 kh = kh * kv_valid[:, None, :, None]
                 vh = vh * kv_valid[:, None, :, None]
 
-            cache = _cache_write_full(cache, li[0], kh, vh, positions)
-            use_qk = use_ak and "k_codes" in cache
-            if use_ak:
-                k_l = v_l = None  # kernels read the stacked cache in place
+            fused = _fused_write_attend(
+                cache, qh, kh, vh, positions, li, attn_cfg,
+                cfg.head_dim**-0.5, True, None, use_ak, max_len,
+                cfg.head_dim)
+            if fused is not None:
+                attn, cache = fused
             else:
-                k_l, v_l = _cache_layer_views(cache, li[0])
-            attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg,
-                                cfg.head_dim**-0.5, 1, True, positions, None,
-                                use_ak, quant_slices=_quant_slices(cache, use_qk),
-                                layer_index=li,
-                                kv_pre_quantized="k_codes" in cache,
-                                fp_stacked=None if use_qk or not use_ak
-                                else (cache["k"], cache["v"]))
+                cache = _cache_write_full(cache, li[0], kh, vh, positions)
+                use_qk = use_ak and "k_codes" in cache
+                if use_ak:
+                    k_l = v_l = None  # kernels read the stacked cache
+                else:
+                    k_l, v_l = _cache_layer_views(cache, li[0])
+                attn = _attend_auto(
+                    qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5, 1,
+                    True, positions, None, use_ak,
+                    quant_slices=_quant_slices(cache, use_qk),
+                    layer_index=li,
+                    kv_pre_quantized="k_codes" in cache,
+                    fp_stacked=None if use_qk or not use_ak
+                    else (cache["k"], cache["v"]))
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.out_proj",
                               attn_cfg.o_proj, b_meta, b_arrays,
                               layer_index=li)

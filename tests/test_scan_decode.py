@@ -92,6 +92,48 @@ def test_scan_decode_quantized_cache_matches_unrolled():
     assert run(True) == run(False)
 
 
+def test_scan_decode_fused_write_attend_matches_unrolled():
+    """max_len % 128 == 0 + quantized cache + Pallas backend engages the
+    single-launch insert+attend kernel (`_fused_write_attend`) in the scan
+    body; tokens must match the unrolled engine (two-launch write-then-
+    attend path) exactly."""
+    from lqer_tpu.serving import decode as dec
+    from lqer_tpu.ops.pallas import decode_attention as da
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=256, layers=2, heads=4,
+                           kv_heads=2, inter=256, max_pos=128)
+    params = models.init_params(cfg, jax.random.PRNGKey(3))
+    qcfgs = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
+    backend = prepare_serving_params(params, cfg, qcfgs)
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    calls = []
+    orig = da.decode_attention_quantized_write
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    def run(scan):
+        eng = DecodeEngine(params, cfg, qcfgs, num_slots=2, max_len=128,
+                           cache_dtype="mxint8", pallas_backend=backend,
+                           scan_layers=scan)
+        reqs = [Request(prompt_ids=[3, 9, 27], max_new_tokens=4),
+                Request(prompt_ids=[5, 6], max_new_tokens=3)]
+        eng.run(reqs)
+        return [r.output_ids for r in reqs]
+
+    del dec  # the scan body imports the kernel from `da` at call time
+    da.decode_attention_quantized_write = spy
+    try:
+        scanned = run(True)
+    finally:
+        da.decode_attention_quantized_write = orig
+    assert calls, "fused write+attend kernel did not engage"
+    unrolled = run(False)
+    assert scanned == unrolled, (scanned, unrolled)
+
+
 OPT_Q_CONFIG = {
     "linear": Q_CONFIG["linear"],
     "bmm": {"name": "flexible", "x_quantizer": _q(8, [1, 16], True),

@@ -229,6 +229,47 @@ def test_fused_cache_write_matches_encode_write():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_write_attend_matches_two_launch():
+    """decode_attention_quantized_write (single-launch insert+attend) must
+    equal write_kv_tokens_fused followed by decode_attention_quantized —
+    both the attention output (dot columns are independent, so the blended
+    fresh-token path is bitwise) and the written cache bytes."""
+    import numpy as np
+
+    from lqer_tpu.ops.pallas.cache_write import write_kv_tokens_fused
+    from lqer_tpu.ops.pallas.decode_attention import (
+        decode_attention_quantized,
+        decode_attention_quantized_write,
+    )
+
+    NL, B, H, KVH, d, L, g = 2, 2, 4, 4, 32, 128, 16
+    rng = np.random.default_rng(5)
+    cache = tuple(
+        jnp.asarray(rng.integers(-90, 90, s), jnp.int8)
+        for s in [(NL, B, KVH, d, L), (NL, B, KVH, d // g, L),
+                  (NL, B, KVH, d, L), (NL, B, KVH, d // g, L)]
+    )
+    q = jnp.asarray(rng.standard_normal((B, H, 1, d)), jnp.float32)
+    kh = jnp.asarray(rng.standard_normal((B, KVH, 1, d)), jnp.float32)
+    vh = jnp.asarray(rng.standard_normal((B, KVH, 1, d)), jnp.float32)
+    pos = jnp.asarray([5, L - 1], jnp.int32)
+    li = jnp.asarray([1], jnp.int32)
+    scaling = d ** -0.5
+
+    # two-launch reference
+    written = write_kv_tokens_fused(cache, kh, vh, li, pos, group=g,
+                                    interpret=True)
+    ref = decode_attention_quantized(
+        q, *written, pos, scaling=scaling, interpret=True,
+        layer_index=li)
+
+    got = decode_attention_quantized_write(
+        q, *cache, kh, vh, pos, li, scaling=scaling, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref))
+    for a, b in zip(got[1:], written):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_quantized_cache_memory_layout():
     from lqer_tpu.serving.kv_cache import init_quantized_kv_cache
 

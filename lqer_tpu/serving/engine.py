@@ -194,40 +194,57 @@ class DecodeEngine:
         self._decode_step = lambda p, c, t, pos, key, temps: decode_step(
             feed, feed_b, c, t, pos, key, temps)
 
-        @functools.partial(jax.jit, static_argnames=("pad_len", "nb"),
+        @functools.partial(jax.jit, static_argnames=("pad_len", "nb", "full"),
                            donate_argnums=(2,))
         def _prefill_impl(params, backend_arrays, cache, ids, slots, lengths,
-                          pad_len, nb):
+                          pad_len, nb, full):
             # ids: (nb, pad_len) right-padded prompts; slots/lengths: (nb,).
             # Admission is BATCHED: all waiting prompts of one length bucket
             # prefill in a single forward (one compile per (nb, pad_len)
             # bucket), and the cache write is a per-slot scatter on the
             # donated buffer rather than a whole-cache copy.
+            # ``full`` (static): the batch covers EVERY slot in order — skip
+            # the per-slot gather/scatter entirely and return the fresh
+            # cache (the scatter materialized a second full-size cache and
+            # pushed the 7B × 8-slot × 2048 bf16 config over HBM; measured
+            # RESOURCE_EXHAUSTED, round 4).
             del pad_len, nb
             positions = jnp.zeros((ids.shape[0],), jnp.int32)
             # fresh zeroed nb-slot cache: stale K/V from previous occupants
             # must not leak into shared-exponent groups (see model_step's
             # valid_lengths note). Key-generic so both the fp and the
             # MXINT8-quantized cache layouts work.
-            batch_cache = {
-                k: jnp.zeros_like(jnp.take(v, slots, axis=1))
-                for k, v in cache.items()
-            }
+            if full:
+                batch_cache = {k: jnp.zeros_like(v) for k, v in cache.items()}
+            else:
+                batch_cache = {
+                    k: jnp.zeros_like(jnp.take(v, slots, axis=1))
+                    for k, v in cache.items()
+                }
             logits, batch_cache = _step_math(
                 params, backend_arrays, batch_cache, ids, positions,
                 valid_lengths=lengths.astype(jnp.int32),
             )
-            cache = {
-                k: cache[k].at[:, slots].set(batch_cache[k])
-                for k in cache
-            }
+            if full:
+                cache = batch_cache
+            else:
+                cache = {
+                    k: cache[k].at[:, slots].set(batch_cache[k])
+                    for k in cache
+                }
             last = jnp.take_along_axis(
                 logits, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
             )[:, 0, :]  # (nb, vocab)
             return last, cache
 
-        self._prefill = lambda p, c, ids, slots, lns, pad_len: _prefill_impl(
-            feed, feed_b, c, ids, slots, lns, pad_len, ids.shape[0])
+        def _prefill(p, c, ids, slots, lns, pad_len):
+            full = bool(ids.shape[0] == num_slots
+                        and np.array_equal(np.asarray(slots),
+                                           np.arange(num_slots)))
+            return _prefill_impl(feed, feed_b, c, ids, slots, lns, pad_len,
+                                 ids.shape[0], full)
+
+        self._prefill = _prefill
 
     # ------------------------------------------------------------------
     def _sample(self, logits: jnp.ndarray, temperature: float) -> int:

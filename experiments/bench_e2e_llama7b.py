@@ -181,6 +181,10 @@ def main():
             params, cfg, qcfgs, num_slots=args.slots, max_len=max_len,
             cache_dtype=cache_dtype, pallas_backend=backend,
             scan_layers=not args.no_scan,
+            # release the per-prefix packed copy once stacked (~2.2 GB) —
+            # only on the LAST length (earlier engines share the backend)
+            consume_backend=(not args.no_scan
+                             and max_len == args.max_len[-1]),
         )
 
         # fill every slot (ONE batched prefill), then time decode steps via

@@ -511,11 +511,17 @@ LLAMA_REL_KEYS = (
 )
 
 
-def stack_backend(backend: dict, cfg) -> dict | None:
+def stack_backend(backend: dict, cfg, consume: bool = False) -> dict | None:
     """Prefix-keyed Pallas backend → rel-keyed stacked arrays (L, ...) for the
     scan body, with layer-0 metadata (uniform layers required). The rel-key
     set is derived from what the backend actually packed, so fused entries
-    (qkv_proj / gateup_proj) stack the same way."""
+    (qkv_proj / gateup_proj) stack the same way.
+
+    ``consume``: drop each per-prefix array from ``backend["arrays"]`` as it
+    is stacked, so the device holds ~one copy of the packed weights instead
+    of two (per-prefix + stacked ≈ 2×2.2 GB at 7B — part of the 8-slot 2048
+    admission OOM budget, round 4). Only for callers that won't reuse the
+    per-prefix backend (a scan-layers engine)."""
     if backend is None:
         return None
     import jax.numpy as _jnp
@@ -541,6 +547,11 @@ def stack_backend(backend: dict, cfg) -> dict | None:
             for k in per_layer[0]
         }
         meta[rel] = backend["meta"][p0 + rel]
+        if consume:
+            del per_layer
+            for i in range(cfg.num_hidden_layers):
+                backend["arrays"].pop(f"{arch_mod.layer_prefix(i)}.{rel}",
+                                      None)
     return {"arrays": arrays, "meta": meta}
 
 

@@ -86,6 +86,7 @@ class DecodeEngine:
         pallas_backend: dict | None = None,
         scan_layers: bool = False,
         mesh=None,
+        consume_backend: bool = False,
     ):
         """``pallas_backend``: packed kernel operands from
         `serving.pallas_backend.prepare_serving_params` — routes every linear
@@ -118,7 +119,10 @@ class DecodeEngine:
 
             arch_mod = models.get_arch_module(cfg)
             self._stacked, self._rest = arch_mod.stack_layer_params(params, cfg)
-            bs = stack_backend(backend, cfg)
+            # consume_backend: the scan engine only uses the STACKED copy;
+            # dropping the per-prefix arrays halves resident packed-weight
+            # memory (~2.2 GB at 7B) for callers that opt in
+            bs = stack_backend(backend, cfg, consume=consume_backend)
             self._bs_meta = None if bs is None else bs["meta"]
             self._bs_arrays = None if bs is None else bs["arrays"]
             if layer_qcfgs is None:

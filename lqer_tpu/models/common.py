@@ -206,10 +206,16 @@ def fused_quantized_attention(
     *,
     scale_query: bool = False,
     interpret: bool | None = None,
+    kv_values_pre_quantized: bool = False,
 ) -> jnp.ndarray:
     """Causal attention through the fused Pallas kernel with the same
     quantization semantics as the eager path (pre-quantized Q/K/V, in-kernel
-    P quantization). Caller must have checked `supports_fused_attention`."""
+    P quantization). Caller must have checked `supports_fused_attention`.
+
+    ``kv_values_pre_quantized``: K/V already carry their operand grid (the
+    MXINT8 quantized-cache serving semantics — quantize-once-at-write); the
+    K^T token-axis and V quantizations are skipped, matching
+    `serving.decode._kv_skip_matmuls`."""
     from ..ops.quantizers import block_fp_quantizer
     from ..ops.pallas.attention import quantized_attention
 
@@ -233,9 +239,12 @@ def fused_quantized_attention(
     else:
         kernel_scale = scaling
     q_q = aq(q3)
-    # K^T quantization groups run along tokens (the eager layout)
-    k_q = jnp.swapaxes(aq(jnp.swapaxes(k3, 1, 2)), 1, 2)
-    v_q = aq(v3)
+    if kv_values_pre_quantized:
+        k_q, v_q = k3, v3
+    else:
+        # K^T quantization groups run along tokens (the eager layout)
+        k_q = jnp.swapaxes(aq(jnp.swapaxes(k3, 1, 2)), 1, 2)
+        v_q = aq(v3)
     out = quantized_attention(
         q_q, k_q, v_q, scale=kernel_scale,
         tile_s=min(256, max(8, s)), p_width=width, group=16,

@@ -266,6 +266,51 @@ def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
                    kv_pre_quantized=kv_pre_quantized)
 
 
+def _fresh_prefill_attend(qh, kh, vh, attn_cfg, scaling, n_rep, scale_query,
+                          cache, window):
+    """ADMISSION prefill attention (positions all 0, cache fresh-zeroed —
+    the engine passes ``fresh_prefill=True`` statically): causal attention
+    over the prompt chunk through the fused prefill kernel instead of the
+    eager path, whose (nb·h, s, max_len) f32 score/probs/quantizer temps
+    dominate HBM at large admission batches (ROADMAP round 4). Returns None
+    when ineligible (sliding window, non-canonical formats, unaligned
+    dims) — the caller falls back to the eager path.
+
+    Semantics match the eager path per cache flavor: MXINT8 cache → K/V
+    enter as their write-time operand grid (quantize-once-at-write,
+    `_kv_skip_matmuls`); fp cache → K^T token-axis + V quantization inside
+    the helper. Exact up to the kernel's tile accumulation order (the same
+    contract as the eval-through-kernels forward)."""
+    from ..models.common import (
+        fused_quantized_attention,
+        repeat_kv,
+        supports_fused_attention,
+    )
+
+    if window is not None or not supports_fused_attention(attn_cfg):
+        return None
+    b, h, s, d = qh.shape
+    if d % 16 or s % 16 or s < 16:
+        return None
+    quantized = is_quantized_cache(cache)
+    if quantized:
+        from ..parallel.collectives import mx8_decode, mx8_encode
+        from .kv_cache import cache_group
+
+        g = cache_group(cache)
+        if d % g:
+            return None
+        # the cache's write-time roundtrip IS the attention operand
+        kr = mx8_decode(*mx8_encode(kh, g, zero_fill=1.0), g, jnp.bfloat16)
+        vr = mx8_decode(*mx8_encode(vh, g, zero_fill=1.0), g, jnp.bfloat16)
+    else:
+        kr, vr = kh, vh
+    return fused_quantized_attention(
+        qh, repeat_kv(kr, n_rep), repeat_kv(vr, n_rep), attn_cfg, scaling,
+        scale_query=scale_query, kv_values_pre_quantized=quantized,
+    )
+
+
 def _fused_write_attend(cache, qh, kh, vh, positions, li, attn_cfg, scaling,
                         scale_query, window, use_ak, max_len, head_dim):
     """Single-launch cache-insert + decode attention for the scan path
@@ -312,6 +357,7 @@ def model_step(
     backend: dict | None = None,
     interpret: bool | None = None,
     valid_lengths: jnp.ndarray | None = None,
+    fresh_prefill: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """Run s tokens through the model updating the cache; returns
     (logits (b, s, vocab), cache). Works for prefill (s>1) and decode (s=1).
@@ -326,9 +372,9 @@ def model_step(
     """
     if cfg.arch == "opt":
         return _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
-                         backend, interpret, valid_lengths)
+                         backend, interpret, valid_lengths, fresh_prefill)
     return _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
-                       backend, interpret, valid_lengths)
+                       backend, interpret, valid_lengths, fresh_prefill)
 
 
 def _kv_valid_mask(valid_lengths, s):
@@ -338,7 +384,8 @@ def _kv_valid_mask(valid_lengths, s):
 
 
 def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
-                backend=None, interpret=None, valid_lengths=None):
+                backend=None, interpret=None, valid_lengths=None,
+                fresh_prefill=False):
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
@@ -378,12 +425,17 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         if kv_valid is not None:
             kh = kh * kv_valid[:, None, :, None]
             vh = vh * kv_valid[:, None, :, None]
+        pre = (_fresh_prefill_attend(qh, kh, vh, attn_cfg,
+                                     cfg.head_dim**-0.5, n_rep, False,
+                                     cache, window)
+               if fresh_prefill and s > 1 else None)
         cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
-        attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
-                            n_rep, False, positions, window, use_ak, interpret,
-                            quant_slices=_quant_slices(cache, use_ak),
-                            layer_index=jnp.asarray([i], jnp.int32),
-                            kv_pre_quantized=is_quantized_cache(cache))
+        attn = pre if pre is not None else _attend_auto(
+            qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+            n_rep, False, positions, window, use_ak, interpret,
+            quant_slices=_quant_slices(cache, use_ak),
+            layer_index=jnp.asarray([i], jnp.int32),
+            kv_pre_quantized=is_quantized_cache(cache))
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.o_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -411,7 +463,8 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
 
 
 def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
-              backend=None, interpret=None, valid_lengths=None):
+              backend=None, interpret=None, valid_lengths=None,
+              fresh_prefill=False):
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
@@ -448,12 +501,17 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         if kv_valid is not None:
             kh = kh * kv_valid[:, None, :, None]
             vh = vh * kv_valid[:, None, :, None]
+        pre = (_fresh_prefill_attend(qh, kh, vh, attn_cfg,
+                                     cfg.head_dim**-0.5, 1, True,
+                                     cache, None)
+               if fresh_prefill and s > 1 else None)
         cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
-        attn = _attend_auto(qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
-                            1, True, positions, None, use_ak, interpret,
-                            quant_slices=_quant_slices(cache, use_ak),
-                            layer_index=jnp.asarray([i], jnp.int32),
-                            kv_pre_quantized=is_quantized_cache(cache))
+        attn = pre if pre is not None else _attend_auto(
+            qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+            1, True, positions, None, use_ak, interpret,
+            quant_slices=_quant_slices(cache, use_ak),
+            layer_index=jnp.asarray([i], jnp.int32),
+            kv_pre_quantized=is_quantized_cache(cache))
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.out_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -745,6 +803,7 @@ def llama_step_scan(
     rest: dict | None = None,
     backend_stacked: dict | None = None,
     valid_lengths: jnp.ndarray | None = None,
+    fresh_prefill: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """`model_step` for Llama with the layer loop as lax.scan: ONE trace of
     the decoder layer regardless of depth (the 4-layer engine warmup already
@@ -804,12 +863,19 @@ def llama_step_scan(
                 kh = kh * kv_valid[:, None, :, None]
                 vh = vh * kv_valid[:, None, :, None]
 
-            fused = _fused_write_attend(
+            pre = (_fresh_prefill_attend(
+                qh, kh, vh, attn_cfg, cfg.head_dim**-0.5, n_rep, False,
+                cache, getattr(cfg, "sliding_window", None))
+                if fresh_prefill and s > 1 else None)
+            fused = None if pre is not None else _fused_write_attend(
                 cache, qh, kh, vh, positions, li, attn_cfg,
                 cfg.head_dim**-0.5, False,
                 getattr(cfg, "sliding_window", None), use_ak, max_len,
                 cfg.head_dim)
-            if fused is not None:
+            if pre is not None:
+                cache = _cache_write_full(cache, li[0], kh, vh, positions)
+                attn = pre
+            elif fused is not None:
                 attn, cache = fused
             else:
                 cache = _cache_write_full(cache, li[0], kh, vh, positions)
@@ -874,6 +940,7 @@ def opt_step_scan(
     rest: dict | None = None,
     backend_stacked: dict | None = None,
     valid_lengths: jnp.ndarray | None = None,
+    fresh_prefill: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """OPT analogue of :func:`llama_step_scan` (same xs→ys cache threading,
     fp or MXINT8-quantized; heterogeneous per-layer configs scan per config
@@ -926,11 +993,18 @@ def opt_step_scan(
                 kh = kh * kv_valid[:, None, :, None]
                 vh = vh * kv_valid[:, None, :, None]
 
-            fused = _fused_write_attend(
+            pre = (_fresh_prefill_attend(
+                qh, kh, vh, attn_cfg, cfg.head_dim**-0.5, 1, True,
+                cache, None)
+                if fresh_prefill and s > 1 else None)
+            fused = None if pre is not None else _fused_write_attend(
                 cache, qh, kh, vh, positions, li, attn_cfg,
                 cfg.head_dim**-0.5, True, None, use_ak, max_len,
                 cfg.head_dim)
-            if fused is not None:
+            if pre is not None:
+                cache = _cache_write_full(cache, li[0], kh, vh, positions)
+                attn = pre
+            elif fused is not None:
                 attn, cache = fused
             else:
                 cache = _cache_write_full(cache, li[0], kh, vh, positions)

@@ -146,7 +146,7 @@ class DecodeEngine:
                     else {"arrays": arrs, "meta": self._bs_meta})
 
         def _step_math(params_or_stack, backend_arrays, cache, ids, positions,
-                       valid_lengths=None):
+                       valid_lengths=None, fresh_prefill=False):
             if scan_layers:
                 stacked, rest = params_or_stack
                 from .decode import llama_step_scan, opt_step_scan
@@ -158,11 +158,13 @@ class DecodeEngine:
                     stacked=stacked, rest=rest,
                     backend_stacked=_mk_bs(backend_arrays),
                     valid_lengths=valid_lengths,
+                    fresh_prefill=fresh_prefill,
                 )
             return model_step(
                 params_or_stack, ids, cache, positions, cfg, layer_qcfgs,
                 backend=_mk_backend(backend_arrays),
                 valid_lengths=valid_lengths,
+                fresh_prefill=fresh_prefill,
             )
 
         # cache donation: without it XLA materializes a full copy of the
@@ -228,6 +230,10 @@ class DecodeEngine:
             logits, batch_cache = _step_math(
                 params, backend_arrays, batch_cache, ids, positions,
                 valid_lengths=lengths.astype(jnp.int32),
+                # admission invariant: every admitted slot starts at
+                # position 0 on a fresh-zeroed cache -> the prompt chunk
+                # can attend through the fused prefill kernel
+                fresh_prefill=True,
             )
             if full:
                 cache = batch_cache

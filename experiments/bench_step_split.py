@@ -88,6 +88,7 @@ def main():
 
     orig_attend = dec._attend_auto
     orig_write = dec._cache_write_full
+    orig_fused = dec._fused_write_attend
 
     def noattn_attend(qh, *a, **kw):
         return qh.astype(jnp.float32)
@@ -95,8 +96,16 @@ def main():
     def nowrite_write(cache, li, kh, vh, positions):
         return cache
 
+    def no_fused(*a, **kw):
+        # the scan body's single-launch insert+attend path must ALSO be
+        # disabled for the no* cases, else it bypasses both patches and the
+        # split measures nothing (round-5 fix: noattn ≈ full at round 4)
+        return None
+
     results = {}
     for case in args.cases:
+        off_fused = case in ("noattn", "nowrite", "bare")
+        dec._fused_write_attend = no_fused if off_fused else orig_fused
         dec._attend_auto = noattn_attend if case in ("noattn", "bare") \
             else orig_attend
         dec._cache_write_full = nowrite_write if case in ("nowrite", "bare") \
@@ -150,6 +159,7 @@ def main():
 
     dec._attend_auto = orig_attend
     dec._cache_write_full = orig_write
+    dec._fused_write_attend = orig_fused
     if "full" in results:
         for k, v in results.items():
             if k != "full":

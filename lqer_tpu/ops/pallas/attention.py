@@ -123,6 +123,10 @@ def quantized_attention(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # CPU interpret mode: XLA's DotThunk rejects BF16xBF16=F32 — keep f32
+    # operands there (same guard as decode_attention's dot_dtype). Quantized
+    # operands are exact in both dtypes.
+    op_dtype = jnp.float32 if interpret else jnp.bfloat16
     BH, S, D = q_q.shape
     L = k_q.shape[1]
     assert L % group == 0, (L, group)
@@ -158,5 +162,6 @@ def quantized_attention(
             transcendentals=BH * Sp * L,
         ),
         interpret=interpret,
-    )(q_q.astype(jnp.bfloat16), k_q.astype(jnp.bfloat16), v_t)
+    )(q_q.astype(op_dtype), k_q.astype(op_dtype),
+      v_t.astype(jnp.float32) if interpret else v_t)
     return out[:, :S, :]

@@ -215,19 +215,9 @@ def _kernel_all(pos_ref, *refs, lane_axis: tuple):
 # ---------------------------------------------------------------------------
 # Fused MXINT8 encode + write (decode s=1, quantized cache)
 # ---------------------------------------------------------------------------
-def _ceil_log2_exact(x):
-    """clip(ceil(log2(x)), -127, 128) for positive finite f32 ``x`` via
-    exponent-field bit arithmetic — EXACT (no transcendental), matching
-    XLA's float log2/ceil on every value incl. exact powers of two (where a
-    1-ulp log2 error would flip the shared exponent and every code in the
-    group):  normals: floor(log2) = biased_exp - 127, ceil adds 1 unless the
-    mantissa is zero; subnormals land at the -127 clip exactly like the
-    float path (ceil(log2(x)) <= -126 there)."""
-    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
-    be = (bits >> 23) & 0xFF
-    m = bits & 0x7FFFFF
-    e = jnp.where(be == 0, -127, be - 127 + (m != 0).astype(jnp.int32))
-    return jnp.clip(e, -127, 128)
+from ...parallel.collectives import ceil_log2_exact as _ceil_log2_exact  # noqa: E402
+# shared with the XLA-side `mx8_encode` so prefill-written and
+# decode-written cache bytes agree by construction (ADVICE r4)
 
 
 def _encode_t(vals_t, group):

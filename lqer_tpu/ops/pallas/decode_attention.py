@@ -692,6 +692,22 @@ def _out_kernel(*refs, scaling, scale_query, window, group, q_mb, p_mb,
         o_ref[0, :, 0, :] = acc[...].astype(o_ref.dtype)
 
 
+def streaming_l_chunk(L: int, group: int = 16,
+                      target: int = 2048) -> int | None:
+    """Largest divisor of ``L`` that is <= ``target`` and a multiple of
+    ``group`` — the streaming kernel's L-chunk (it asserts
+    ``L % l_chunk == 0``). Auto-selection (ADVICE r4): a 16-aligned L above
+    the VMEM wall that is not a multiple of 2048 must not trap the trace;
+    128-multiples are preferred (full-lane chunks), any group-multiple
+    divisor is accepted otherwise. Returns None only when L has no
+    group-multiple divisor <= target (i.e. L % group != 0)."""
+    for step in (128, group):
+        for c in range(target - target % step, step - 1, -step):
+            if L % c == 0:
+                return c
+    return None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scaling", "scale_query", "window", "group",

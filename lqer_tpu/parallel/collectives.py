@@ -19,11 +19,33 @@ import jax
 import jax.numpy as jnp
 
 
+def ceil_log2_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """clip(ceil(log2(x)), -127, 128) for positive finite f32 ``x`` via
+    exponent-field bit arithmetic — EXACT on every input. The float
+    ``ceil(log2(x))`` path can round DOWN onto the integer for absmax
+    values marginally above a power of two (log2(2^k·(1+ulp)) rounds to k
+    for k >= 2), picking exponent k with a saturated code 127 where the
+    exact result is k+1 with code 64; sharing this helper between the XLA
+    encode and the Pallas cache-write kernel (`cache_write._encode_t`)
+    makes prefill-written and decode-written cache bytes identical by
+    construction (ADVICE r4)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    be = (bits >> 23) & 0xFF
+    m = bits & 0x7FFFFF
+    e = jnp.where(be == 0, -127, be - 127 + (m != 0).astype(jnp.int32))
+    return jnp.clip(e, -127, 128)
+
+
 def mx8_encode(x: jnp.ndarray, group: int = 16, zero_fill: float | None = None):
     """(…, F) float → (codes int8, exps int8) with groups along the last dim.
 
     Same numerics as `block_fp_quantizer(width=8, block_size=[1, group],
-    skip_first_dim=True)` for F divisible by `group`.
+    skip_first_dim=True)` for F divisible by `group` — except on absmax
+    values a float-ulp above a power of two, where this path's exact
+    bit-arithmetic exponent (`ceil_log2_exact`) picks k+1/code-64 while the
+    quantizer's float log2 can round down to k/saturated-127 (the exact
+    result is also the more accurate one; the quantizer keeps the float
+    path for bit-parity with the reference torch oracle).
 
     ``zero_fill``: absmax stand-in for all-zero groups (their codes are 0
     and decode to 0 either way — only the stored exponent byte depends on
@@ -42,7 +64,7 @@ def mx8_encode(x: jnp.ndarray, group: int = 16, zero_fill: float | None = None):
     else:
         fill = jnp.float32(zero_fill)
     bmax = jnp.where(bmax == 0, fill, bmax)
-    e = jnp.clip(jnp.ceil(jnp.log2(bmax)), -127, 128)
+    e = ceil_log2_exact(bmax).astype(jnp.float32)
     sign = jnp.sign(xf + 1e-9)
     mant = jnp.clip(
         jnp.round((jnp.abs(xf) + 1e-9) / jnp.exp2(e) * 128.0), 0, 127

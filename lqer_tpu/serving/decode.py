@@ -125,6 +125,40 @@ def _kv_skip_matmuls(attn_cfg):
             resolve_qmatmul(strip(attn_cfg.pv_cfg)))
 
 
+_KV_MISMATCH_WARNED = set()
+
+
+def _kv_config_is_cache_format(attn_cfg) -> bool:
+    """True when the configured K/V-side operand quantizers coincide with
+    the MXINT8 cache's write format ([1,16]-group block_fp, width 8) — only
+    then is the quantize-once-at-write skip semantics-preserving. Any other
+    K/V config over an mxint8 cache keeps its configured use-time
+    quantizers (applied on the cache-decoded values: write-grid then
+    configured grid, the same double-quantization a narrower storage format
+    implies), so reported accuracy always reflects the config."""
+    from ..models.common import _std_a8
+
+    qk, pv = attn_cfg.qk_cfg, attn_cfg.pv_cfg
+    if qk is None or pv is None:
+        # fp attention config: no K/V-side quantizer to skip; treating the
+        # stored grid as the operand is exact.
+        return qk is None and pv is None
+    kx = qk.get("w_quantizer") or qk.get("default")
+    vx = pv.get("w_quantizer") or pv.get("default")
+    ok = all(_std_a8(c) and c.get("width") == 8 for c in (kx, vx))
+    if not ok:
+        key = (str(kx), str(vx))
+        if key not in _KV_MISMATCH_WARNED:
+            _KV_MISMATCH_WARNED.add(key)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "mxint8 KV cache with non-MXINT8 K/V operand quantizers "
+                "(%s / %s): the configured quantizers run on the "
+                "cache-decoded values (double quantization)", kx, vx)
+    return ok
+
+
 def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
             kv_pre_quantized=False):
     """Cache attention with quantized matmuls on 3-D (b·h, ...) operands,
@@ -144,7 +178,7 @@ def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
     cache's operand format (quantized once at write), so the K/V-side
     operand quantizers are skipped (see `kv_cache.init_quantized_kv_cache`).
     """
-    if kv_pre_quantized:
+    if kv_pre_quantized and _kv_config_is_cache_format(attn_cfg):
         qk_matmul, pv_matmul = _kv_skip_matmuls(attn_cfg)
     else:
         qk_matmul, pv_matmul = attn_cfg.qk_matmul, attn_cfg.pv_matmul
@@ -167,7 +201,17 @@ def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
     return out.reshape(b, h, s, d)
 
 
-def _use_attn_kernel(backend, s, attn_cfg, max_len, head_dim) -> bool:
+def _fp_cache_kernel_fits(max_len, head_dim, itemsize) -> bool:
+    """fp-cache analogue of `decode_attention._kvh_chunk_fits` (ADVICE r4):
+    the fp kernel has no streaming-L variant, and `_kvh_chunk` bottoms out
+    at chunk=1 — one head's double-buffered whole-L K+V block must fit the
+    12 MB VMEM budget or the kernel fails at compile. Beyond the wall the
+    caller keeps the eager path."""
+    return 2 * max_len * head_dim * itemsize * 2 <= 12 * 1024 * 1024
+
+
+def _use_attn_kernel(backend, s, attn_cfg, max_len, head_dim,
+                     cache=None) -> bool:
     """Fused decode-attention eligibility: serving (Pallas backend) decode
     step with the canonical MXINT attention formats and 16-aligned dims.
     ``LQER_DISABLE_ATTN_KERNEL=1`` forces the eager path (A/B testing).
@@ -187,6 +231,11 @@ def _use_attn_kernel(backend, s, attn_cfg, max_len, head_dim) -> bool:
     # crossover on v5e, experiments/bench_e2e_llama7b.py)
     if s != 1 or max_len < 128 or max_len % 16 != 0 or head_dim % 16 != 0:
         return False
+    if cache is not None and not is_quantized_cache(cache):
+        # fp cache: the fp kernel has no streaming-L fallback (ADVICE r4)
+        itemsize = jnp.dtype(cache["k"].dtype).itemsize
+        if not _fp_cache_kernel_fits(max_len, head_dim, itemsize):
+            return False
     if attn_cfg.qk_cfg is None and attn_cfg.pv_cfg is None:
         return bool(os.environ.get("LQER_FP_ATTN_KERNEL"))
     if backend is None:
@@ -231,15 +280,18 @@ def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
             from ..ops.pallas.decode_attention import (
                 _kvh_chunk_fits,
                 decode_attention_quantized_streaming,
+                streaming_l_chunk,
             )
 
             if not _kvh_chunk_fits(L, d):
+                lc = streaming_l_chunk(L)
+                assert lc is not None, (L, "no group-multiple l_chunk")
                 return decode_attention_quantized_streaming(
                     qh, quant_slices["k_codes"], quant_slices["k_exps"],
                     quant_slices["v_codes"], quant_slices["v_exps"],
                     positions, scaling=scaling, scale_query=scale_query,
                     window=window, interpret=interpret,
-                    layer_index=layer_index,
+                    layer_index=layer_index, l_chunk=lc,
                     **decode_attention_widths_quantized(attn_cfg),
                 )
             return decode_attention_quantized(
@@ -294,6 +346,8 @@ def _fresh_prefill_attend(qh, kh, vh, attn_cfg, scaling, n_rep, scale_query,
         return None
     quantized = is_quantized_cache(cache)
     if quantized:
+        if not _kv_config_is_cache_format(attn_cfg):
+            return None  # eager fallback applies the configured quantizers
         from ..parallel.collectives import mx8_decode, mx8_encode
         from .kv_cache import cache_group
 
@@ -405,7 +459,8 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
     for i in range(cfg.num_hidden_layers):
         q = layer_qcfgs[i] if layer_qcfgs is not None else FP_LAYER_LLAMA
         attn_cfg = q["attn"]
-        use_ak = _use_attn_kernel(backend, s, attn_cfg, max_len, cfg.head_dim)
+        use_ak = _use_attn_kernel(backend, s, attn_cfg, max_len, cfg.head_dim,
+                                  cache=cache)
         p = llama_mod.layer_prefix(i)
         _m = llama_mod._mod
 
@@ -482,7 +537,8 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
     for i in range(cfg.num_hidden_layers):
         q = layer_qcfgs[i] if layer_qcfgs is not None else FP_LAYER_OPT
         attn_cfg = q["attn"]
-        use_ak = _use_attn_kernel(backend, s, attn_cfg, max_len, cfg.head_dim)
+        use_ak = _use_attn_kernel(backend, s, attn_cfg, max_len, cfg.head_dim,
+                                  cache=cache)
         p = opt_mod.layer_prefix(i)
         _m = opt_mod._mod
 
@@ -842,7 +898,7 @@ def llama_step_scan(
     def make_body(q):
         attn_cfg = q["attn"]
         use_ak = _use_attn_kernel(backend_stacked, s, attn_cfg, max_len,
-                                  cfg.head_dim)
+                                  cfg.head_dim, cache=cache)
 
         def body(carry, xs):
             h, cache = carry
@@ -972,7 +1028,7 @@ def opt_step_scan(
     def make_body(q):
         attn_cfg = q["attn"]
         use_ak = _use_attn_kernel(backend_stacked, s, attn_cfg, max_len,
-                                  cfg.head_dim)
+                                  cfg.head_dim, cache=cache)
 
         def body(carry, xs):
             h, cache = carry

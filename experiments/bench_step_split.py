@@ -40,10 +40,18 @@ def main():
     ap.add_argument("--iters", type=int, default=48)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cases", nargs="+",
-                    default=["full", "noattn", "nowrite", "nohead", "bare"])
+                    default=["full", "noattn", "nowrite", "nohead", "bare"],
+                    help="also: twolaunch (fused write+attend off, separate "
+                         "write + standard attend kernels)")
     ap.add_argument("--dense", action="store_true",
                     help="split the DENSE bf16 baseline step instead "
                          "(bench.py's yardstick: fp weights, bf16 cache)")
+    ap.add_argument("--w8-head", action="store_true",
+                    help="pack the lm_head (tied embed) at W8 through the "
+                         "dequant-GEMM kernel (serving lm_head_width=8)")
+    ap.add_argument("--bf16-head", action="store_true",
+                    help="cast the tied-embed lm_head to bf16 (the f32 "
+                         "embed doubles the dense head stream)")
     args = ap.parse_args()
 
     import dataclasses
@@ -59,8 +67,16 @@ def main():
     cfg = dataclasses.replace(LlamaConfig.llama_7b(),
                               num_hidden_layers=args.layers)
     backend, params, qcfgs = build_7b_backend_and_params(cfg, RANK)
+    if args.w8_head:
+        from lqer_tpu.serving.pallas_backend import pack_lm_head
+
+        backend = pack_lm_head(backend, params, width=8,
+                               embed_key="model.embed_tokens.weight")
     arch_mod = models.get_arch_module(cfg)
     stacked, rest = arch_mod.stack_layer_params(params, cfg)
+    if args.bf16_head:
+        rest["model.embed_tokens.weight"] = rest[
+            "model.embed_tokens.weight"].astype(jnp.bfloat16)
     bs = dec.stack_backend(backend, cfg)
     qcfg0 = qcfgs[0] if qcfgs else None
     if args.dense:
@@ -104,7 +120,7 @@ def main():
 
     results = {}
     for case in args.cases:
-        off_fused = case in ("noattn", "nowrite", "bare")
+        off_fused = case in ("noattn", "nowrite", "bare", "twolaunch")
         dec._fused_write_attend = no_fused if off_fused else orig_fused
         dec._attend_auto = noattn_attend if case in ("noattn", "bare") \
             else orig_attend

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..storage import MXINT4, MXFormat, pack_w4_tiles, quantize_mx
+from ..storage import MXINT4, MXFormat, pack_w4_tiles, pack_w8_tiles, quantize_mx
 from ..quantizers import block_fp_quantizer
 
 
@@ -79,7 +79,20 @@ def _dot_w4(x, t_ref, mb: int, group: int, tile_k: int) -> jnp.ndarray:
     second — the K-split layout), rows ``[TK/2, TK/2 + TK/group)`` the int8
     shared exponents. TWO half-K dots on the separately-scaled nibble planes
     skip the sublane concat a single full-K dot needs (~25% on decode
-    shapes, experiments/bench_dequant_variants.py)."""
+    shapes, experiments/bench_dequant_variants.py).
+
+    ``mb > 3`` selects the DIRECT int8 layout (`storage.pack_w8_tiles` —
+    width-8 weights, e.g. the packed lm_head): rows ``[0, TK)`` unpacked
+    codes, then the exponents; one full-K dot."""
+    if mb > 3:
+        ge = tile_k // group
+        c = t_ref[0:tile_k, :].astype(jnp.float32)
+        e = t_ref[tile_k:tile_k + ge, :]
+        scale = jnp.exp2(e.astype(jnp.float32) - mb)
+        tn = c.shape[1]
+        w = (c.reshape(ge, group, tn) * scale[:, None, :]
+             ).reshape(tile_k, tn).astype(jnp.bfloat16)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
     tk2 = tile_k // 2
     ge = tile_k // group
     p = t_ref[0:tk2, :].astype(jnp.int32)
@@ -178,7 +191,8 @@ def prepare_w4_weights(
         tile_n = _default_tile_n(N)
     assert N % tile_n == 0, (N, tile_n)
     codes, exps = quantize_mx(wt, fmt)
-    tiles = pack_w4_tiles(codes, exps, tile_k, tile_n, fmt.group_size)
+    pack = pack_w4_tiles if fmt.width == 4 else pack_w8_tiles
+    tiles = pack(codes, exps, tile_k, tile_n, fmt.group_size)
     out = {
         "tiles": tiles,
         "tile_k": tile_k,

@@ -156,6 +156,32 @@ def pack_w4_tiles(
     return tiles
 
 
+def pack_w8_tiles(
+    codes: jnp.ndarray,
+    exps: jnp.ndarray,
+    tile_k: int,
+    tile_n: int,
+    group: int = 16,
+) -> jnp.ndarray:
+    """Tile-major co-packed layout for DIRECT int8 codes (width > 4 — no
+    nibble packing): each (k, n) slab holds ``tile_k`` code rows followed by
+    ``tile_k/group`` exponent rows, padded to the 32-row int8 sublane tile.
+    Same contiguous-DMA rationale as :func:`pack_w4_tiles`; the kernel's
+    ``_dot_w4`` dispatches on the format's mantissa width."""
+    K, N = codes.shape
+    assert K % tile_k == 0 and N % tile_n == 0, (K, N, tile_k, tile_n)
+    nk, nn = K // tile_k, N // tile_n
+    ge = tile_k // group
+    c_t = codes.reshape(nk, tile_k, nn, tile_n).transpose(0, 2, 1, 3)
+    e_t = exps.reshape(nk, ge, nn, tile_n).transpose(0, 2, 1, 3)
+    s = tile_k + ge
+    s_pad = -s % 32
+    tiles = jnp.concatenate([c_t, e_t], axis=2)
+    if s_pad:
+        tiles = jnp.pad(tiles, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
+    return tiles
+
+
 def unpack_int4_ksplit(packed: jnp.ndarray, tile_k: int = 256) -> jnp.ndarray:
     """Inverse of :func:`pack_int4_ksplit` (reference implementation for
     tests; the Pallas kernel does this per-tile in VMEM)."""

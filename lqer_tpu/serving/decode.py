@@ -85,6 +85,27 @@ def _mlp_fused_or_none(x, layer_prefix, qc_first, qc_down, backend,
     return None
 
 
+def _lm_head_logits(h, lm_head, backend, interpret=None):
+    """Final logits: packed-W8 dequant-GEMM kernel when the backend packed
+    ``lm_head`` (`pallas_backend.pack_lm_head` — the dense bf16 matmul costs
+    ~2.9 ms in-situ per 7B decode step, ~2.1× the weight stream of W8),
+    else the dense matmul. The activation enters unquantized (bf16 cast,
+    same as the dense path); only the weight grid changes."""
+    if backend is not None and "lm_head" in backend.get("meta", {}):
+        from ..ops.pallas.dequant_gemm import qlinear_w4_fused
+
+        prep = dict(backend["arrays"]["lm_head"])
+        prep.update(backend["meta"]["lm_head"])
+        b, s, k = h.shape
+        y = qlinear_w4_fused(
+            h.astype(jnp.bfloat16).reshape(b * s, k), prep,
+            quant_xa_width=None, quant_out_width=None,
+            interpret=interpret,
+        )
+        return y.reshape(b, s, -1).astype(h.dtype)
+    return jnp.matmul(h, lm_head.T)
+
+
 def _heads(y, num_heads):
     b, s, _ = y.shape
     return y.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)
@@ -514,7 +535,7 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
 
     h = rms_norm(h, llama_mod._mod(params, "model.norm"), cfg.rms_norm_eps)
     lm_head = params.get("lm_head.weight", embed)
-    return jnp.matmul(h, lm_head.T), cache
+    return _lm_head_logits(h, lm_head, backend, interpret), cache
 
 
 def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
@@ -591,7 +612,7 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
     if params.get("model.decoder.project_out.weight") is not None:
         h = jnp.matmul(h, params["model.decoder.project_out.weight"].T)
     lm_head = params.get("lm_head.weight", embed)
-    return jnp.matmul(h, lm_head.T), cache
+    return _lm_head_logits(h, lm_head, backend, interpret), cache
 
 
 def make_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
@@ -666,6 +687,12 @@ def stack_backend(backend: dict, cfg, consume: bool = False) -> dict | None:
             for i in range(cfg.num_hidden_layers):
                 backend["arrays"].pop(f"{arch_mod.layer_prefix(i)}.{rel}",
                                       None)
+    # non-layer entries (e.g. the packed "lm_head") carry over unstacked
+    for k in backend["meta"]:
+        if not k.startswith(arch_mod.layer_prefix(0)[:
+                            arch_mod.layer_prefix(0).rfind(".")]):
+            arrays[k] = backend["arrays"][k]
+            meta[k] = backend["meta"][k]
     return {"arrays": arrays, "meta": meta}
 
 
@@ -982,7 +1009,7 @@ def llama_step_scan(
     h = rms_norm(h, {"weight": rest["model.norm.weight"],
                      "bias": rest.get("model.norm.bias")}, cfg.rms_norm_eps)
     lm_head = rest.get("lm_head.weight", embed)
-    return jnp.matmul(h, lm_head.T), cache
+    return _lm_head_logits(h, lm_head, backend_stacked), cache
 
 
 def opt_step_scan(
@@ -1112,4 +1139,4 @@ def opt_step_scan(
     if rest.get("model.decoder.project_out.weight") is not None:
         h = jnp.matmul(h, rest["model.decoder.project_out.weight"].T)
     lm_head = rest.get("lm_head.weight", embed)
-    return jnp.matmul(h, lm_head.T), cache
+    return _lm_head_logits(h, lm_head, backend_stacked), cache

@@ -87,10 +87,16 @@ class DecodeEngine:
         scan_layers: bool = False,
         mesh=None,
         consume_backend: bool = False,
+        lm_head_width: int | None = None,
     ):
         """``pallas_backend``: packed kernel operands from
         `serving.pallas_backend.prepare_serving_params` — routes every linear
         through the fused W4A8 kernel instead of the software emulation.
+
+        ``lm_head_width``: opt-in packed lm_head (8 → MXINT8 weight grid via
+        the dequant-GEMM kernel; ~2.1× less head weight stream than the
+        dense bf16 matmul — quality study in ROADMAP). Requires a
+        ``pallas_backend``; the activation stays unquantized.
 
         ``scan_layers``: lax.scan layer loop (Llama/Mistral with a uniform
         per-layer config) — decoder compile time becomes depth-independent,
@@ -112,6 +118,10 @@ class DecodeEngine:
         self.slot_req: list[Request | None] = [None] * num_slots
         self.key = jax.random.PRNGKey(rng_seed)
         backend = pallas_backend
+        if lm_head_width is not None and backend is not None:
+            from .pallas_backend import pack_lm_head
+
+            backend = pack_lm_head(backend, params, width=lm_head_width)
         self._scan = scan_layers
         if scan_layers:
             from ..models.config_expand import layer_qcfgs_uniform

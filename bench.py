@@ -105,32 +105,60 @@ def main():
     ctx = CTX if on_tpu else 64
     slots = SLOTS
 
+    # W8 lm_head on the fused side (round 5): the dense bf16 head matmul
+    # measured ~2.9 ms in-situ — MXINT8 weight tiles through the dequant-GEMM
+    # kernel halve the head stream (quality study: ROADMAP round-5 table).
+    from lqer_tpu.serving.pallas_backend import pack_lm_head
+
+    backend = pack_lm_head(backend, params, width=8)
+
     arch_mod = models.get_arch_module(cfg)
     stacked, rest = arch_mod.stack_layer_params(params, cfg)
+    # the dense baseline's lm_head (tied embed) must be bf16, not the
+    # generator's f32 — an f32 head doubles its stream and would weaken the
+    # yardstick (round-5 split: f32 head ≈ 2.9 ms, bf16 ≈ 1.4)
+    for k in ("model.embed_tokens.weight", "lm_head.weight"):
+        if k in rest:
+            rest[k] = rest[k].astype(jnp.bfloat16)
     bs = stack_backend(backend, cfg)
     qcfg0 = qcfgs[0] if qcfgs else None
 
-    # ---- fused full step: scan layers, MXINT8 KV cache, decode attention --
-    cache_f = make_cache(cfg, slots, ctx, "mxint8")
-    positions = jnp.full((slots,), ctx - 2, jnp.int32)
-
+    # ---- fused full step: scan layers, ring-staged MXINT8 KV cache, ------
+    # decode attention. Positions ADVANCE through the chain (round 5) so the
+    # staged cache's flush cadence is paid honestly (~1 flush per 32 steps);
+    # each repeat restarts at base (the cache is a timing fixture).
     from functools import partial
 
     iters = ITERS if on_tpu else 2
+    cache_f = make_cache(cfg, slots, ctx,
+                         "mxint8-staged" if on_tpu else "mxint8")
+    base_pos = ctx - 2 - iters
+    positions = jnp.full((slots,), ctx - 2, jnp.int32)  # prefill/SoL ref
+
+    def _reset_staged(cache):
+        if "flushed" in cache:
+            cache = dict(cache)
+            cache["flushed"] = jnp.full(
+                (slots,), (base_pos // 32) * 32, jnp.int32)
+        return cache
 
     @partial(jax.jit, donate_argnums=(1,))
     def chain_fused(tokens, cache, stacked, rest, b_arrays):
-        def it(state, _):
+        cache = _reset_staged(cache)
+
+        def it(state, i):
             tok, cache = state
             logits, cache = llama_step_scan(
-                {}, tok[:, None], cache, positions, cfg, qcfg0,
+                {}, tok[:, None], cache,
+                jnp.full((slots,), base_pos, jnp.int32) + i, cfg, qcfg0,
                 stacked=stacked, rest=rest,
                 backend_stacked={"arrays": b_arrays, "meta": bs["meta"]},
             )
             return (jnp.argmax(logits[:, 0, :], -1).astype(jnp.int32),
                     cache), None
 
-        state, _ = jax.lax.scan(it, (tokens, cache), None, length=iters)
+        state, _ = jax.lax.scan(it, (tokens, cache),
+                                jnp.arange(iters, dtype=jnp.int32))
         return state
 
     def fused_fn(state):
@@ -163,16 +191,18 @@ def main():
 
     @partial(jax.jit, donate_argnums=(1,))
     def chain_dense(tokens, cache, stacked_d, rest):
-        def it(state, _):
+        def it(state, i):
             tok, cache = state
             logits, cache = llama_step_scan(
-                {}, tok[:, None], cache, positions, cfg, None,
+                {}, tok[:, None], cache,
+                jnp.full((slots,), base_pos, jnp.int32) + i, cfg, None,
                 stacked=stacked_d, rest=rest, backend_stacked=None,
             )
             return (jnp.argmax(logits[:, 0, :], -1).astype(jnp.int32),
                     cache), None
 
-        state, _ = jax.lax.scan(it, (tokens, cache), None, length=iters)
+        state, _ = jax.lax.scan(it, (tokens, cache),
+                                jnp.arange(iters, dtype=jnp.int32))
         return state
 
     def dense_fn(state):
@@ -190,16 +220,18 @@ def main():
 
     @partial(jax.jit, donate_argnums=(1,))
     def chain_dense_k(tokens, cache, stacked_d, rest):
-        def it(state, _):
+        def it(state, i):
             tok, cache = state
             logits, cache = llama_step_scan(
-                {}, tok[:, None], cache, positions, cfg, None,
+                {}, tok[:, None], cache,
+                jnp.full((slots,), base_pos, jnp.int32) + i, cfg, None,
                 stacked=stacked_d, rest=rest, backend_stacked=None,
             )
             return (jnp.argmax(logits[:, 0, :], -1).astype(jnp.int32),
                     cache), None
 
-        state, _ = jax.lax.scan(it, (tokens, cache), None, length=iters)
+        state, _ = jax.lax.scan(it, (tokens, cache),
+                                jnp.arange(iters, dtype=jnp.int32))
         return state
 
     cache_dk = make_cache(cfg, slots, ctx, jnp.bfloat16)
@@ -235,38 +267,72 @@ def main():
     ratio = t_dense / t_fused
     tokens_per_s = slots / t_fused
 
-    # ---- prefill throughput (VERDICT r3 item 8): one 2048-token chunk ----
-    # through the eval-through-kernels forward (fused linears + prefill
-    # attention kernel) — the README's "eval through kernels" number, now
-    # tracked by the driver-visible bench alongside decode.
-    arch_fwd = models.get_arch_module(cfg).forward
+    # ---- prefill throughput + MFU roofline (VERDICT r4 item 3) -----------
+    # one 2048-token admission chunk through the ENGINE's prefill step
+    # (llama_step_scan, fresh cache, fresh_prefill=True → fused-admission
+    # kernel attention on the quantized side, eager XLA attention on the
+    # dense side — exactly what each implementation would serve with).
     pf_ids = jnp.zeros((1, ctx), jnp.int32)
     pf_iters = max(2, iters // 8)
+    pf_pos = jnp.zeros((1,), jnp.int32)
 
-    @jax.jit
-    def chain_prefill(ids, params, b_arrays):
-        def it(ids, _):
-            logits = arch_fwd(params, ids, cfg, qcfgs,
-                              backend={"arrays": b_arrays,
-                                       "meta": backend["meta"]})
-            nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
-            return ids.at[:, 0].set(nxt), None
+    def make_prefill(stacked_args, b_stacked, cache_dtype):
+        @jax.jit
+        def chain_prefill(ids, stacked_, rest_, b_arrays):
+            def it(ids, _):
+                cache = make_cache(cfg, 1, ctx, cache_dtype)
+                logits, cache = llama_step_scan(
+                    {}, ids, cache, pf_pos, cfg,
+                    qcfg0 if b_stacked is not None else None,
+                    stacked=stacked_, rest=rest_,
+                    backend_stacked=None if b_arrays is None else
+                    {"arrays": b_arrays, "meta": b_stacked["meta"]},
+                    fresh_prefill=True,
+                )
+                nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+                return ids.at[:, 0].set(nxt), None
 
-        ids, _ = jax.lax.scan(it, ids, None, length=pf_iters)
-        return ids
+            ids, _ = jax.lax.scan(it, ids, None, length=pf_iters)
+            return ids
 
-    def pf_fn(ids):
-        return chain_prefill(ids, params, backend["arrays"])
+        return chain_prefill
 
-    t_p = []
-    st = pf_ids
+    chain_pf_fused = make_prefill(
+        stacked, bs, "mxint8-staged" if on_tpu else "mxint8")
+    chain_pf_dense = make_prefill(stacked_dense, None, jnp.bfloat16)
+
+    def pf_fused_fn(ids):
+        return chain_pf_fused(ids, stacked, rest, bs["arrays"])
+
+    def pf_dense_fn(ids):
+        return chain_pf_dense(ids, stacked_dense, rest, None)
+
+    t_p, t_pd = [], []
+    st_f, st_d = pf_ids, pf_ids
     for r in range(repeats):
-        t, st = _bench(pf_fn, st, pf_iters, warmup=(r == 0))
+        t, st_f = _bench(pf_fused_fn, st_f, pf_iters, warmup=(r == 0))
         t_p.append(t * scale)
-    t_prefill = min(t_p)
+        t, st_d = _bench(pf_dense_fn, st_d, pf_iters, warmup=(r == 0))
+        t_pd.append(t * scale)
+    t_prefill, t_prefill_d = min(t_p), min(t_pd)
     prefill_tok_s = ctx / t_prefill
+
+    # MFU: measured vs the chip's bf16 matmul peak for the flops a dense
+    # prefill of this chunk must do (linears + causal attention + head)
+    h_, inter_, kv_ = cfg.hidden_size, cfg.intermediate_size, \
+        cfg.kv_heads * cfg.head_dim
+    lin_flops = 2 * ctx * (h_ * (h_ + 2 * kv_) + h_ * h_
+                           + 2 * h_ * inter_ + inter_ * h_)
+    attn_flops = 2 * 2 * cfg.num_attention_heads * ctx * ctx \
+        * cfg.head_dim // 2  # QK^T + P·V, causal half
+    head_flops = 2 * ctx * h_ * cfg.vocab_size
+    pf_flops = (lin_flops + attn_flops) * layers * scale + head_flops
+    TPU_PEAK = 197e12  # v5e bf16
+    prefill_mfu = (pf_flops / t_prefill) / TPU_PEAK if on_tpu else 0.0
     print(f"[bench] prefill {ctx}-token chunk: {t_prefill*1e3:.1f} ms "
-          f"({prefill_tok_s:.0f} tok/s at 32 layers)", file=sys.stderr)
+          f"({prefill_tok_s:.0f} tok/s at 32 layers) "
+          f"MFU={prefill_mfu:.2f} dense={t_prefill_d*1e3:.1f} ms "
+          f"(vs_dense {t_prefill_d/t_prefill:.2f})", file=sys.stderr)
 
     # ---- speed-of-light accounting (per full 32-layer step) ---------------
     h, inter, kv = cfg.hidden_size, cfg.intermediate_size, \
@@ -276,10 +342,12 @@ def main():
     w4 = sum(o * i // 2 + o * i // 16 for o, i in lin_shapes)
     ab = sum((i * RANK + RANK * o) * 2 for o, i in lin_shapes)
     kv_read_q = 2 * slots * cfg.kv_heads * ctx * cfg.head_dim * 17 // 16
-    fused_bytes = (w4 + ab + kv_read_q) * layers * scale
+    head_w8 = cfg.vocab_size * h * 17 // 16   # packed W8 lm_head, per step
+    head_bf16 = cfg.vocab_size * h * 2
+    fused_bytes = (w4 + ab + kv_read_q) * layers * scale + head_w8
     dense_w = sum(o * i * 2 for o, i in lin_shapes)
     kv_read_d = 2 * slots * cfg.kv_heads * ctx * cfg.head_dim * 2
-    dense_bytes = (dense_w + kv_read_d) * layers * scale
+    dense_bytes = (dense_w + kv_read_d) * layers * scale + head_bf16
     sol = fused_bytes / HBM_BW
     frac = sol / t_fused if on_tpu else 0.0
 
@@ -305,6 +373,9 @@ def main():
         "batch": slots,
         "prefill_tokens_per_s": round(prefill_tok_s, 0),
         "prefill_chunk_ms": round(t_prefill * 1e3, 2),
+        "prefill_mfu": round(prefill_mfu, 3),
+        "prefill_dense_chunk_ms": round(t_prefill_d * 1e3, 2),
+        "prefill_vs_dense": round(t_prefill_d / t_prefill, 3),
         # strongest constructible baseline: dense XLA linears + this
         # framework's fp decode-attention kernel (LQER_FP_ATTN_KERNEL)
         "dense_kernel_step_ms": round(t_dense_k * 1e3, 2),

@@ -61,7 +61,7 @@ def main():
     positions = jnp.full((SLOTS,), 1000, jnp.int32)
     q_abs = positions[:, None]
 
-    def layer(case, h, li, lnw):
+    def layer(case, h, li, lnw, b_arrays):
         from lqer_tpu.serving.decode import _heads, _lin_group_slice, \
             _mlp_fused_or_none
         from lqer_tpu.models.common import merge_heads
@@ -129,7 +129,7 @@ def main():
                 def body(carry, xs):
                     hh = carry
                     lnw, li = xs
-                    return layer(case, hh, li, lnw), None
+                    return layer(case, hh, li, lnw, b_arrays_), None
 
                 hh, _ = jax.lax.scan(
                     body, h,

@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--bf16-head", action="store_true",
                     help="cast the tied-embed lm_head to bf16 (the f32 "
                          "embed doubles the dense head stream)")
+    ap.add_argument("--cache", default="mxint8",
+                    choices=["mxint8", "mxint8-staged"],
+                    help="fused-side KV cache flavor")
     args = ap.parse_args()
 
     import dataclasses
@@ -130,7 +133,10 @@ def main():
 
         cache = dec.make_cache(
             cfg, SLOTS, args.ctx,
-            jnp.bfloat16 if args.dense else "mxint8")
+            jnp.bfloat16 if args.dense else args.cache)
+        if args.cache == "mxint8-staged" and not args.dense:
+            # start mid-stream: flushed at the 32-floor of the positions
+            cache["flushed"] = (positions // 32) * 32
 
         @partial(jax.jit, donate_argnums=(1,))
         def chain(tokens, cache, stacked, rest, b_arrays, nohead=nohead):

@@ -317,3 +317,105 @@ def write_kv_tokens_fused(
         vh.astype(jnp.float32),
         *cache_arrays,
     ))
+
+
+# ---------------------------------------------------------------------------
+# Staged-cache flush: migrate completed ring blocks into the main cache
+# ---------------------------------------------------------------------------
+def _kernel_flush(fl_ref, nf_ref, *refs, n_arrays: int, sw: int, w: int):
+    """Blend staged tokens [flushed, new_flushed) into ONE candidate
+    128-lane main-cache window (pass ``w`` of 2). Window bases are
+    128-aligned and SW divides 128, so ``token % SW == lane % SW`` — the
+    ring maps onto the window by TILING (no lane gather). The mask is
+    computed from the TRUE base ``(fl//128 + w) * 128``; when that window
+    does not exist the BlockSpec clamps to the last window and the empty
+    mask writes it back unchanged."""
+    b = pl.program_id(1)
+    fl = fl_ref[b]
+    nf = nf_ref[b]
+    mains = refs[:n_arrays]
+    stages = refs[n_arrays:2 * n_arrays]
+    outs = refs[2 * n_arrays:]
+    base = (fl // LANEBLK + w) * LANEBLK
+    reps = LANEBLK // sw
+    for i in range(n_arrays):
+        st = stages[i][...]              # (1, KVH, rows, SW)
+        tiled = jnp.concatenate([st] * reps, axis=-1)  # (1, KVH, rows, 128)
+        c = mains[i][...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, c.shape, 3)
+        tok = base + lane
+        valid = jnp.logical_and(tok >= fl, tok < nf)
+        outs[i][...] = jnp.where(valid, tiled.astype(c.dtype), c)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flush_stage_to_main(
+    cache_arrays: tuple,   # 4x (NL, B, KVH, rows, L) main (codes/exps, K/V)
+    stage_arrays: tuple,   # 4x (NL, B, KVH, rows, SW) staging rings
+    flushed: jnp.ndarray,      # (B,) int32, 32-aligned
+    new_flushed: jnp.ndarray,  # (B,) int32, 32-aligned, >= flushed
+    *,
+    interpret: bool | None = None,
+) -> tuple:
+    """Migrate every layer's staged tokens [flushed, new_flushed) from the
+    SW-lane staging rings into the main cache: two aliased window-RMW
+    launches (the span can straddle one 128-lane window boundary; a buffer
+    cannot legally alias two outputs of one call). Runs once per 32 decode
+    steps (the engine's flush clock), so the window RMW that cost
+    ~35 MB/layer/step on the direct-write path amortizes to ~1/32 of that.
+    Staging arrays are read-only (stale lanes below new_flushed are masked
+    out by the staged attention kernel afterwards).
+
+    PRECONDITION: new_flushed - flushed <= 63, both multiples of 32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = len(cache_arrays)
+    NL, B = cache_arrays[0].shape[:2]
+    L = cache_arrays[0].shape[-1]
+    SW = stage_arrays[0].shape[-1]
+    assert L % LANEBLK == 0 and LANEBLK % SW == 0, (L, SW)
+    n_w = L // LANEBLK
+
+    def im_main(w):
+        def f(li, b, fl, nf):
+            return (li, b, 0, 0,
+                    jnp.minimum(fl[b] // LANEBLK + w, n_w - 1))
+        return f
+
+    def im_stage(li, b, fl, nf):
+        return (li, b, 0, 0, 0)
+
+    specs_stage = [
+        pl.BlockSpec((None, 1, s.shape[2], s.shape[3], SW), im_stage,
+                     memory_space=pltpu.VMEM)
+        for s in stage_arrays
+    ]
+    out = tuple(cache_arrays)
+    for w in range(2):
+        specs_main = [
+            pl.BlockSpec((None, 1, a.shape[2], a.shape[3], LANEBLK),
+                         im_main(w), memory_space=pltpu.VMEM)
+            for a in cache_arrays
+        ]
+        out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                      for a in cache_arrays]
+        # flat inputs: fl(0) nf(1) mains(2..2+n) stages; alias main i -> out i
+        aliases = {2 + i: i for i in range(n)}
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(NL, B),
+            in_specs=specs_main + specs_stage,
+            out_specs=specs_main,
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel_flush, n_arrays=n, sw=SW, w=w),
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(
+            flushed.astype(jnp.int32), new_flushed.astype(jnp.int32),
+            *out, *stage_arrays,
+        )
+    return tuple(out)

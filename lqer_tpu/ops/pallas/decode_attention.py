@@ -548,6 +548,247 @@ def decode_attention_widths_quantized(attn_cfg) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Ring-staged decode attention: staging write + combined attend, one launch
+# ---------------------------------------------------------------------------
+def _kernel_quantized_staged(idx_ref, pos_ref, fl_ref, q_ref, kc_ref, ke_ref,
+                             vc_ref, ve_ref, ksc_ref, kse_ref, vsc_ref,
+                             vse_ref, kh_ref, vh_ref,
+                             o_ref, ksc_o, kse_o, vsc_o, vse_o,
+                             *, scaling, scale_query, group, q_mb, p_mb,
+                             n_rep, cache_mb, dot_dtype):
+    """Staged-cache decode step (round 5, VERDICT r4 #2b): the fresh token's
+    K/V rows are MXINT8-encoded in-kernel and blended into the SW-lane
+    STAGING ring (static-index-map aliased outputs — none of the
+    data-dependent 128-lane main-window RMW that made the direct write move
+    ~35 MB/layer to store 64 KB); attention then combines the main cache
+    (positions < flushed) with the staging ring (positions [flushed, pos])
+    flash-style — concatenated score blocks share one exact softmax.
+
+    Numerics: staging lane j holds position t(j) = pos - ((pos - j) % SW);
+    with SW a multiple of 16 and ``flushed`` 16-aligned, every probs
+    16-group in ring space covers exactly one position 16-group, so the
+    P-quantization grid is IDENTICAL to the unstaged kernel's — only the
+    f32 softmax reduction order differs (concat tail vs in-place columns).
+    """
+    from .cache_write import _encode_t
+
+    del idx_ref
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    fl = fl_ref[b]
+    qs = q_ref[0, :, 0, :].astype(jnp.float32)      # (Hq, d)
+    H, d = qs.shape
+    L = kc_ref.shape[3]
+    kvh = kc_ref.shape[1]
+    SW = ksc_ref.shape[3]
+
+    if scale_query:
+        qs = qs * scaling
+    if q_mb is not None:
+        qs = _quantize_sublane_groups_signed(qs.T, q_mb, group).T
+
+    # ---- encode fresh rows + blend into the staging ring ----------------
+    r = pos % SW
+    kvals = kh_ref[0, :, 0, :].astype(jnp.float32)  # (kc, d)
+    vvals = vh_ref[0, :, 0, :].astype(jnp.float32)
+    kcod, kexp = _encode_t(kvals.T, group)          # (d, kc), (d/g, kc)
+    vcod, vexp = _encode_t(vvals.T, group)
+
+    upd = {}
+    for name, in_ref, out_ref, new_t in (
+            ("kc", ksc_ref, ksc_o, kcod), ("ke", kse_ref, kse_o, kexp),
+            ("vc", vsc_ref, vsc_o, vcod), ("ve", vse_ref, vse_o, vexp)):
+        cur = in_ref[0].astype(jnp.float32)         # (kc, rows, SW)
+        n = jnp.broadcast_to(new_t.T[:, :, None], cur.shape)
+        lane = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 2)
+        merged = jnp.where(lane == r, n, cur)
+        out_ref[0] = merged.astype(out_ref.dtype)
+        upd[name] = merged                          # post-write values
+
+    # ---- masks -----------------------------------------------------------
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    ok_main = kv_idx < fl                            # main: [0, flushed)
+    st_idx = jax.lax.broadcasted_iota(jnp.int32, (1, SW), 1)
+    t_lane = pos - jnp.remainder(pos - st_idx, SW)   # position held by lane
+    ok_st = t_lane >= fl                             # staging: [flushed, pos]
+
+    def decode_t(c_ref, e_ref, kv):
+        c = c_ref[0, kv].astype(jnp.float32)         # (d, L)
+        e = e_ref[0, kv].astype(jnp.float32)
+        scale = jnp.exp2(e - cache_mb)
+        return (c.reshape(d // group, group, L) * scale[:, None, :]
+                ).reshape(d, L).astype(dot_dtype)
+
+    def decode_stage(name_c, name_e, kv):
+        c = upd[name_c][kv]                          # (d, SW) f32 codes
+        e = upd[name_e][kv]                          # (d/g, SW)
+        scale = jnp.exp2(e - cache_mb)
+        return (c.reshape(d // group, group, SW) * scale[:, None, :]
+                ).reshape(d, SW).astype(dot_dtype)
+
+    # ---- phase 1: scores over main + staging -----------------------------
+    rows_m, rows_s = [], []
+    for kv in range(kvh):
+        q_kv = qs[kv * n_rep:(kv + 1) * n_rep].astype(dot_dtype)
+        rows_m.append(jax.lax.dot_general(
+            q_kv, decode_t(kc_ref, ke_ref, kv),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        rows_s.append(jax.lax.dot_general(
+            q_kv, decode_stage("kc", "ke", kv),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    s_m = rows_m[0] if kvh == 1 else jnp.concatenate(rows_m, axis=0)
+    s_s = rows_s[0] if kvh == 1 else jnp.concatenate(rows_s, axis=0)
+    if not scale_query:
+        s_m = s_m * scaling
+        s_s = s_s * scaling
+    s = jnp.concatenate([jnp.where(ok_main, s_m, -jnp.inf),
+                         jnp.where(ok_st, s_s, -jnp.inf)], axis=1)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)        # (Hq, L+SW)
+    p_t = p.T                                        # (L+SW, Hq)
+    if p_mb is not None:
+        # 16-groups along axis 0: the L→SW seam is 16-aligned, and ring
+        # lanes map 16-groups onto position 16-groups (see docstring)
+        p_t = _quantize_sublane_groups(p_t, p_mb, group)
+    p_t = p_t.astype(dot_dtype)
+    p_main, p_st = p_t[:L], p_t[L:]
+
+    # ---- phase 2: P·V over main + staging --------------------------------
+    outs = []
+    for kv in range(kvh):
+        sl = slice(kv * n_rep, (kv + 1) * n_rep)
+        o_t = jnp.dot(decode_t(vc_ref, ve_ref, kv), p_main[:, sl],
+                      preferred_element_type=jnp.float32)
+        o_t = o_t + jnp.dot(decode_stage("vc", "ve", kv), p_st[:, sl],
+                            preferred_element_type=jnp.float32)
+        outs.append(o_t.T)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scaling", "scale_query", "group", "q_width", "p_width",
+                     "out_dtype", "interpret"),
+)
+def decode_attention_quantized_staged(
+    q: jnp.ndarray,          # (B, H, 1, d) RAW queries (rope applied)
+    k_codes: jnp.ndarray,    # (NL, B, KVH, d, L) int8 — MAIN cache
+    k_exps: jnp.ndarray,     # (NL, B, KVH, d/16, L)
+    v_codes: jnp.ndarray,
+    v_exps: jnp.ndarray,
+    ks_codes: jnp.ndarray,   # (NL, B, KVH, d, SW) int8 — staging ring
+    ks_exps: jnp.ndarray,    # (NL, B, KVH, d/16, SW)
+    vs_codes: jnp.ndarray,
+    vs_exps: jnp.ndarray,
+    kh: jnp.ndarray,         # (B, KVH, 1, d) RAW new K rows (pre-encode)
+    vh: jnp.ndarray,
+    positions: jnp.ndarray,  # (B,) int32
+    flushed: jnp.ndarray,    # (B,) int32, 16-aligned
+    layer_index,             # (1,) int32
+    *,
+    scaling: float,
+    scale_query: bool = False,
+    group: int = 16,
+    q_width: int | None = 8,
+    p_width: int | None = 8,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> tuple:
+    """Single-launch staged decode step over the layer-stacked MXINT8 cache:
+    returns (attn (B, H, 1, d), ks_codes, ks_exps, vs_codes, vs_exps) with
+    the STAGING arrays updated in place (aliased; the main cache is
+    read-only here — `cache_write.flush_stage_to_main` migrates completed
+    32-blocks once per 32 steps). No sliding-window support (the serving
+    router keeps windowed configs on the direct-write path)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, S, d = q.shape
+    assert S == 1, S
+    assert k_codes.ndim == 5, ("layer-stacked cache required", k_codes.shape)
+    KVH, L = k_codes.shape[-3], k_codes.shape[-1]
+    SW = ks_codes.shape[-1]
+    n_rep = H // KVH
+    assert d // k_exps.shape[-2] == group
+    assert L % 128 == 0 and SW % group == 0, (L, SW, group)
+    kc = _kvh_chunk(KVH, L, d, 1 + 1 / group)
+    G, Hq = KVH // kc, kc * n_rep
+
+    kernel = functools.partial(
+        _kernel_quantized_staged, scaling=scaling, scale_query=scale_query,
+        group=group, n_rep=n_rep, cache_mb=7.0,
+        q_mb=None if q_width is None else q_width - 1,
+        p_mb=None if p_width is None else p_width - 1,
+        dot_dtype=jnp.float32 if interpret else jnp.bfloat16,
+    )
+
+    spec_c = pl.BlockSpec((None, 1, kc, d, L),
+                          lambda b, g, idx: (idx[0], b, g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_e = pl.BlockSpec((None, 1, kc, d // group, L),
+                          lambda b, g, idx: (idx[0], b, g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_sc = pl.BlockSpec((None, 1, kc, d, SW),
+                           lambda b, g, idx: (idx[0], b, g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_se = pl.BlockSpec((None, 1, kc, d // group, SW),
+                           lambda b, g, idx: (idx[0], b, g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_new = pl.BlockSpec((1, kc, 1, d), lambda b, g, idx: (b, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_q = pl.BlockSpec((1, Hq, 1, d), lambda b, g, idx: (b, g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_smem = pl.BlockSpec((B,), lambda b, g, idx: (0,),
+                             memory_space=pltpu.SMEM)
+    out_specs = [
+        pl.BlockSpec((1, Hq, 1, d), lambda b, g, idx: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        spec_sc, spec_se, spec_sc, spec_se,
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, H, 1, d), out_dtype),
+        jax.ShapeDtypeStruct(ks_codes.shape, ks_codes.dtype),
+        jax.ShapeDtypeStruct(ks_exps.shape, ks_exps.dtype),
+        jax.ShapeDtypeStruct(vs_codes.shape, vs_codes.dtype),
+        jax.ShapeDtypeStruct(vs_exps.shape, vs_exps.dtype),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, G),
+        in_specs=[spec_smem, spec_smem, spec_q,
+                  spec_c, spec_e, spec_c, spec_e,
+                  spec_sc, spec_se, spec_sc, spec_se,
+                  spec_new, spec_new],
+        out_specs=out_specs,
+    )
+    # flat inputs: idx(0) pos(1) fl(2) q(3) kc(4) ke(5) vc(6) ve(7) ksc(8)
+    # kse(9) vsc(10) vse(11) kh(12) vh(13); outputs: attn + 4 staging arrays
+    aliases = {8: 1, 9: 2, 10: 3, 11: 4}
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * (L + SW) * d,
+            bytes_accessed=2 * B * KVH * (L + 2 * SW) * (d + d // group),
+            transcendentals=B * H * (L + SW),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer_index, jnp.int32).reshape(1),
+        positions.astype(jnp.int32), flushed.astype(jnp.int32),
+        q, k_codes, k_exps, v_codes, v_exps,
+        ks_codes, ks_exps, vs_codes, vs_exps,
+        kh.astype(jnp.float32), vh.astype(jnp.float32),
+    )
+    return res
+
+
+# ---------------------------------------------------------------------------
 # Streaming (chunked-L) decode attention — contexts beyond VMEM residency
 # ---------------------------------------------------------------------------
 def _stats_kernel(*refs, scaling, scale_query, window, group, q_mb, n_rep,

@@ -175,12 +175,37 @@ def prepare_mlp_weights(
     tile_k2: int = 256,
     tile_i: int | None = None,
     tile_n: int | None = None,
+    pad_i: int | None = None,
 ) -> dict:
     """Offline prep for :func:`mlp_w4_fused`. A_gate/A_up concatenate along
     rank (shared input ⇒ shared X·A sweep); B stay separate per half.
     ``tile_i``/``tile_n`` fix the tile-major storage's N-side tiling for the
-    gate/up and down weights respectively (default: widest divisor ≤ 1024)."""
+    gate/up and down weights respectively (default: widest divisor ≤ 1024).
+    ``pad_i``: zero-pad the intermediate dim to this size before packing
+    (tile-friendly grids — `pallas_backend.pad_to_tile`); numerically
+    exact, output shape unchanged."""
     gated = w_up is not None
+    I = w_gate.shape[0]
+    if pad_i is not None and pad_i > I:
+        # zero-pad the intermediate dim to a large-tile multiple (see
+        # `pallas_backend.pad_to_tile`): pad gate/up OUT rows and down IN
+        # columns — zeros are exact through act(0)[*0]=0, the 16-group
+        # quantizers' zero passthrough, and the zero down-weight rows.
+        p = pad_i - I
+        w_gate = jnp.pad(jnp.asarray(w_gate), ((0, p), (0, 0)))
+        w_up = None if w_up is None else jnp.pad(jnp.asarray(w_up),
+                                                 ((0, p), (0, 0)))
+        w_down = jnp.pad(jnp.asarray(w_down), ((0, 0), (0, p)))
+        if b_gate is not None:
+            b_gate = jnp.pad(jnp.asarray(b_gate), ((0, 0), (0, p)))
+        if b_up is not None:
+            b_up = jnp.pad(jnp.asarray(b_up), ((0, 0), (0, p)))
+        if a_down is not None:
+            a_down = jnp.pad(jnp.asarray(a_down), ((0, p), (0, 0)))
+        if bias_gate is not None:
+            bias_gate = jnp.pad(jnp.asarray(bias_gate), (0, p))
+        if bias_up is not None:
+            bias_up = jnp.pad(jnp.asarray(bias_up), (0, p))
     pg = prepare_w4_weights(w_gate, bias=bias_gate, fmt=fmt, tile_k=tile_k,
                             tile_n=tile_i)
     pu = (prepare_w4_weights(w_up, bias=bias_up, fmt=fmt, tile_k=tile_k,

@@ -21,6 +21,8 @@ from .kv_cache import (
     init_kv_cache,
     init_quantized_kv_cache,
     is_quantized_cache,
+    is_staged_cache,
+    stage_boundary_sync,
     update_layer_cache,
     update_layer_cache_quantized,
 )
@@ -96,12 +98,15 @@ def _lm_head_logits(h, lm_head, backend, interpret=None):
 
         prep = dict(backend["arrays"]["lm_head"])
         prep.update(backend["meta"]["lm_head"])
+        n_real = prep.pop("n_real", None)
         b, s, k = h.shape
         y = qlinear_w4_fused(
             h.astype(jnp.bfloat16).reshape(b * s, k), prep,
             quant_xa_width=None, quant_out_width=None,
             interpret=interpret,
         )
+        if n_real is not None and y.shape[-1] != n_real:
+            y = y[:, :n_real]  # vocab zero-padded for large tiles
         return y.reshape(b, s, -1).astype(h.dtype)
     return jnp.matmul(h, lm_head.T)
 
@@ -412,6 +417,116 @@ def _fused_write_attend(cache, qh, kh, vh, positions, li, attn_cfg, scaling,
                   "v_codes": vc2, "v_exps": ve2}
 
 
+_STAGE_KEYS = ("k_stage_codes", "k_stage_exps",
+               "v_stage_codes", "v_stage_exps")
+_MAIN_KEYS = ("k_codes", "k_exps", "v_codes", "v_exps")
+
+
+def _staged_write_attend(cache, qh, kh, vh, positions, li, attn_cfg, scaling,
+                         scale_query, window, use_ak, max_len, head_dim):
+    """Single-launch ring-staged write + combined attend (round 5): the
+    fresh token lands in the SW-lane staging ring inside the attention
+    kernel (static-index aliased outputs) and attention combines main cache
+    + ring flash-style. Returns (attn, cache) or None when the kernel is
+    ineligible — the caller then runs the eager staged path (the cache
+    format is fixed at creation; a staged cache NEVER takes the direct
+    main-window write)."""
+    from .kv_cache import is_staged_cache
+
+    if not is_staged_cache(cache) or window is not None or not use_ak:
+        return None
+    from ..ops.pallas.decode_attention import (
+        _kvh_chunk_fits,
+        decode_attention_quantized_staged,
+        decode_attention_widths_quantized,
+    )
+
+    if not _kvh_chunk_fits(max_len, head_dim):
+        return None  # streaming-L regime: eager staged fallback
+    attn, ks, ke, vs, ve = decode_attention_quantized_staged(
+        qh, *(cache[k] for k in _MAIN_KEYS),
+        *(cache[k] for k in _STAGE_KEYS),
+        kh, vh, positions, cache["flushed"], li,
+        scaling=scaling, scale_query=scale_query,
+        **decode_attention_widths_quantized(attn_cfg),
+    )
+    return attn, {**cache, "k_stage_codes": ks, "k_stage_exps": ke,
+                  "v_stage_codes": vs, "v_stage_exps": ve}
+
+
+def _staged_eager_update(cache, li, kh, vh, positions, compute_dtype):
+    """Eager staged decode write + views (s == 1): encode the fresh token
+    into the staging ring (XLA per-slot lane DUS), then materialize the
+    layer's (b, kv_heads, max_len, d) K/V views as main-cache decode with
+    columns [flushed, pos] overridden from the ring (tile + where — ring
+    lane j == token % SW). Semantically identical to the staged kernel; the
+    kernel's HBM savings don't apply (this path exists for
+    LQER_DISABLE_ATTN_KERNEL A/B and backend-less engines)."""
+    from ..parallel.collectives import mx8_decode, mx8_encode
+    from .kv_cache import cache_group
+
+    group = cache_group(cache)
+    SW = cache["k_stage_codes"].shape[-1]
+    L = cache["k_codes"].shape[-1]
+    r = positions % SW
+    k_c, k_e = mx8_encode(kh, group, zero_fill=1.0)  # (B, KVH, 1, d[/g])
+    v_c, v_e = mx8_encode(vh, group, zero_fill=1.0)
+    news = {"k_stage_codes": jnp.swapaxes(k_c, -1, -2),
+            "k_stage_exps": jnp.swapaxes(k_e, -1, -2),
+            "v_stage_codes": jnp.swapaxes(v_c, -1, -2),
+            "v_stage_exps": jnp.swapaxes(v_e, -1, -2)}
+
+    def upd_t(c, n, p):
+        return jax.lax.dynamic_update_slice(c, n, (0, 0, p))
+
+    out = dict(cache)
+    for key, n in news.items():
+        sl = jax.vmap(upd_t)(cache[key][li], n, r)
+        out[key] = cache[key].at[li].set(sl)
+
+    def views(ck, ek):
+        dec = mx8_decode(jnp.swapaxes(out[ck[0]][li], -1, -2),
+                         jnp.swapaxes(out[ck[1]][li], -1, -2),
+                         group, compute_dtype)          # (B, KVH, L, d)
+        st = mx8_decode(jnp.swapaxes(out[ek[0]][li], -1, -2),
+                        jnp.swapaxes(out[ek[1]][li], -1, -2),
+                        group, compute_dtype)           # (B, KVH, SW, d)
+        tiled = jnp.tile(st, (1, 1, L // SW, 1))
+        col = jnp.arange(L)[None, :]
+        valid = (col >= out["flushed"][:, None]) & \
+            (col <= positions[:, None])
+        return jnp.where(valid[:, None, :, None], tiled, dec)
+
+    k_l = views(("k_codes", "k_exps"), ("k_stage_codes", "k_stage_exps"))
+    v_l = views(("v_codes", "v_exps"), ("v_stage_codes", "v_stage_exps"))
+    return out, k_l, v_l
+
+
+def _staged_flush_maybe(cache, positions):
+    """Flush prologue for staged-cache decode steps: when any slot's ring
+    residue reaches 48, migrate every slot's completed 32-blocks into the
+    main cache (ONE two-launch window RMW across all layers,
+    `cache_write.flush_stage_to_main`). Trigger at 48 (not 32) so the flush
+    runs once per ≥17 steps while the residue stays < SW=64 by
+    construction (decode advances every slot by at most 1 per step)."""
+    from ..ops.pallas.cache_write import flush_stage_to_main
+    from .kv_cache import is_staged_cache
+
+    if not is_staged_cache(cache):
+        return cache
+
+    def do_flush(c):
+        nf = (positions // 32) * 32
+        arrays = flush_stage_to_main(
+            tuple(c[k] for k in _MAIN_KEYS),
+            tuple(c[k] for k in _STAGE_KEYS),
+            c["flushed"], nf)
+        return {**c, **dict(zip(_MAIN_KEYS, arrays)), "flushed": nf}
+
+    pred = jnp.any(positions - cache["flushed"] >= 48)
+    return jax.lax.cond(pred, do_flush, lambda c: c, cache)
+
+
 def _quant_slices(cache, use_kernel):
     """FULL layer-stacked MXINT8 cache arrays for the quantized-cache
     kernel (the kernel selects the layer via scalar-prefetch layer_index —
@@ -464,6 +579,8 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
+    if s == 1:
+        cache = _staged_flush_maybe(cache, positions)  # staged cache only
     embed = params["model.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
 
@@ -505,13 +622,30 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
                                      cfg.head_dim**-0.5, n_rep, False,
                                      cache, window)
                if fresh_prefill and s > 1 else None)
-        cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
-        attn = pre if pre is not None else _attend_auto(
-            qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
-            n_rep, False, positions, window, use_ak, interpret,
-            quant_slices=_quant_slices(cache, use_ak),
-            layer_index=jnp.asarray([i], jnp.int32),
-            kv_pre_quantized=is_quantized_cache(cache))
+        if s == 1 and is_staged_cache(cache):
+            st = _staged_write_attend(
+                cache, qh, kh, vh, positions,
+                jnp.asarray([i], jnp.int32), attn_cfg,
+                cfg.head_dim**-0.5, False, window, use_ak, max_len,
+                cfg.head_dim)
+            if st is not None:
+                attn, cache = st
+            else:
+                cache, k_l, v_l = _staged_eager_update(
+                    cache, i, kh, vh, positions, h.dtype)
+                attn = _attend_auto(
+                    qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+                    n_rep, False, positions, window, False, interpret,
+                    kv_pre_quantized=True)
+        else:
+            cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions,
+                                            h.dtype)
+            attn = pre if pre is not None else _attend_auto(
+                qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+                n_rep, False, positions, window, use_ak, interpret,
+                quant_slices=_quant_slices(cache, use_ak),
+                layer_index=jnp.asarray([i], jnp.int32),
+                kv_pre_quantized=is_quantized_cache(cache))
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.o_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -535,6 +669,10 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
 
     h = rms_norm(h, llama_mod._mod(params, "model.norm"), cfg.rms_norm_eps)
     lm_head = params.get("lm_head.weight", embed)
+    if s > 1 and is_staged_cache(cache):
+        new_pos = positions + (valid_lengths if valid_lengths is not None
+                               else s)
+        cache = stage_boundary_sync(cache, new_pos)
     return _lm_head_logits(h, lm_head, backend, interpret), cache
 
 
@@ -544,6 +682,8 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
+    if s == 1:
+        cache = _staged_flush_maybe(cache, positions)  # staged cache only
     embed = params["model.decoder.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     if params.get("model.decoder.project_in.weight") is not None:  # OPT-350m
@@ -582,13 +722,30 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
                                      cfg.head_dim**-0.5, 1, True,
                                      cache, None)
                if fresh_prefill and s > 1 else None)
-        cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions, h.dtype)
-        attn = pre if pre is not None else _attend_auto(
-            qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
-            1, True, positions, None, use_ak, interpret,
-            quant_slices=_quant_slices(cache, use_ak),
-            layer_index=jnp.asarray([i], jnp.int32),
-            kv_pre_quantized=is_quantized_cache(cache))
+        if s == 1 and is_staged_cache(cache):
+            st = _staged_write_attend(
+                cache, qh, kh, vh, positions,
+                jnp.asarray([i], jnp.int32), attn_cfg,
+                cfg.head_dim**-0.5, True, None, use_ak, max_len,
+                cfg.head_dim)
+            if st is not None:
+                attn, cache = st
+            else:
+                cache, k_l, v_l = _staged_eager_update(
+                    cache, i, kh, vh, positions, h.dtype)
+                attn = _attend_auto(
+                    qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+                    1, True, positions, None, False, interpret,
+                    kv_pre_quantized=True)
+        else:
+            cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions,
+                                            h.dtype)
+            attn = pre if pre is not None else _attend_auto(
+                qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+                1, True, positions, None, use_ak, interpret,
+                quant_slices=_quant_slices(cache, use_ak),
+                layer_index=jnp.asarray([i], jnp.int32),
+                kv_pre_quantized=is_quantized_cache(cache))
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.out_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -612,12 +769,41 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
     if params.get("model.decoder.project_out.weight") is not None:
         h = jnp.matmul(h, params["model.decoder.project_out.weight"].T)
     lm_head = params.get("lm_head.weight", embed)
+    if s > 1 and is_staged_cache(cache):
+        new_pos = positions + (valid_lengths if valid_lengths is not None
+                               else s)
+        cache = stage_boundary_sync(cache, new_pos)
     return _lm_head_logits(h, lm_head, backend, interpret), cache
 
 
 def make_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
-    """``dtype="mxint8"`` selects the quantized cache (8.5 bits/value)."""
+    """``dtype="mxint8"`` selects the quantized cache (8.5 bits/value);
+    ``"mxint8-staged"`` additionally ring-stages decode writes (round 5 —
+    requires max_len % 128 == 0 and no sliding window)."""
     kv_heads = cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.num_attention_heads
+    if dtype == "mxint8-staged":
+        from ..ops.pallas.decode_attention import _kvh_chunk_fits
+
+        eligible = (getattr(cfg, "sliding_window", None) is None
+                    and max_len % 128 == 0
+                    and _kvh_chunk_fits(max_len, cfg.head_dim))
+        if not eligible:
+            # sliding-window / unaligned / streaming-L regimes keep the
+            # direct-write quantized cache (the staged kernels don't cover
+            # them); plain mxint8 is semantically identical
+            import logging
+
+            logging.getLogger(__name__).info(
+                "mxint8-staged ineligible (window=%s, max_len=%d): using "
+                "the direct-write mxint8 cache",
+                getattr(cfg, "sliding_window", None), max_len)
+            return init_quantized_kv_cache(
+                cfg.num_hidden_layers, batch, kv_heads, cfg.head_dim,
+                max_len)
+        return init_quantized_kv_cache(
+            cfg.num_hidden_layers, batch, kv_heads, cfg.head_dim, max_len,
+            staged=True,
+        )
     if dtype == "mxint8":
         return init_quantized_kv_cache(
             cfg.num_hidden_layers, batch, kv_heads, cfg.head_dim, max_len
@@ -907,6 +1093,8 @@ def llama_step_scan(
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
+    if s == 1:
+        cache = _staged_flush_maybe(cache, positions)  # staged cache only
     embed = rest["model.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     q_abs = _abs_positions(positions, s)
@@ -950,14 +1138,32 @@ def llama_step_scan(
                 qh, kh, vh, attn_cfg, cfg.head_dim**-0.5, n_rep, False,
                 cache, getattr(cfg, "sliding_window", None))
                 if fresh_prefill and s > 1 else None)
-            fused = None if pre is not None else _fused_write_attend(
-                cache, qh, kh, vh, positions, li, attn_cfg,
-                cfg.head_dim**-0.5, False,
-                getattr(cfg, "sliding_window", None), use_ak, max_len,
-                cfg.head_dim)
+            staged = None if (pre is not None or s != 1) else \
+                _staged_write_attend(
+                    cache, qh, kh, vh, positions, li, attn_cfg,
+                    cfg.head_dim**-0.5, False,
+                    getattr(cfg, "sliding_window", None), use_ak, max_len,
+                    cfg.head_dim)
+            fused = None if (pre is not None or staged is not None
+                             or is_staged_cache(cache)) else \
+                _fused_write_attend(
+                    cache, qh, kh, vh, positions, li, attn_cfg,
+                    cfg.head_dim**-0.5, False,
+                    getattr(cfg, "sliding_window", None), use_ak, max_len,
+                    cfg.head_dim)
             if pre is not None:
                 cache = _cache_write_full(cache, li[0], kh, vh, positions)
                 attn = pre
+            elif staged is not None:
+                attn, cache = staged
+            elif s == 1 and is_staged_cache(cache):
+                cache, k_l, v_l = _staged_eager_update(
+                    cache, li[0], kh, vh, positions, h.dtype)
+                attn = _attend_auto(
+                    qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
+                    n_rep, False, positions,
+                    getattr(cfg, "sliding_window", None), False,
+                    kv_pre_quantized=True)
             elif fused is not None:
                 attn, cache = fused
             else:
@@ -1009,6 +1215,10 @@ def llama_step_scan(
     h = rms_norm(h, {"weight": rest["model.norm.weight"],
                      "bias": rest.get("model.norm.bias")}, cfg.rms_norm_eps)
     lm_head = rest.get("lm_head.weight", embed)
+    if s > 1 and is_staged_cache(cache):
+        new_pos = positions + (valid_lengths if valid_lengths is not None
+                               else s)
+        cache = stage_boundary_sync(cache, new_pos)
     return _lm_head_logits(h, lm_head, backend_stacked), cache
 
 
@@ -1037,6 +1247,8 @@ def opt_step_scan(
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
+    if s == 1:
+        cache = _staged_flush_maybe(cache, positions)  # staged cache only
     embed = rest["model.decoder.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
     if rest.get("model.decoder.project_in.weight") is not None:  # OPT-350m
@@ -1080,13 +1292,29 @@ def opt_step_scan(
                 qh, kh, vh, attn_cfg, cfg.head_dim**-0.5, 1, True,
                 cache, None)
                 if fresh_prefill and s > 1 else None)
-            fused = None if pre is not None else _fused_write_attend(
-                cache, qh, kh, vh, positions, li, attn_cfg,
-                cfg.head_dim**-0.5, True, None, use_ak, max_len,
-                cfg.head_dim)
+            staged = None if (pre is not None or s != 1) else \
+                _staged_write_attend(
+                    cache, qh, kh, vh, positions, li, attn_cfg,
+                    cfg.head_dim**-0.5, True, None, use_ak, max_len,
+                    cfg.head_dim)
+            fused = None if (pre is not None or staged is not None
+                             or is_staged_cache(cache)) else \
+                _fused_write_attend(
+                    cache, qh, kh, vh, positions, li, attn_cfg,
+                    cfg.head_dim**-0.5, True, None, use_ak, max_len,
+                    cfg.head_dim)
             if pre is not None:
                 cache = _cache_write_full(cache, li[0], kh, vh, positions)
                 attn = pre
+            elif staged is not None:
+                attn, cache = staged
+            elif s == 1 and is_staged_cache(cache):
+                cache, k_l, v_l = _staged_eager_update(
+                    cache, li[0], kh, vh, positions, h.dtype)
+                attn = _attend_auto(
+                    qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5, 1,
+                    True, positions, None, False,
+                    kv_pre_quantized=True)
             elif fused is not None:
                 attn, cache = fused
             else:
@@ -1139,4 +1367,8 @@ def opt_step_scan(
     if rest.get("model.decoder.project_out.weight") is not None:
         h = jnp.matmul(h, rest["model.decoder.project_out.weight"].T)
     lm_head = rest.get("lm_head.weight", embed)
+    if s > 1 and is_staged_cache(cache):
+        new_pos = positions + (valid_lengths if valid_lengths is not None
+                               else s)
+        cache = stage_boundary_sync(cache, new_pos)
     return _lm_head_logits(h, lm_head, backend_stacked), cache

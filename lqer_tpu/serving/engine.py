@@ -230,11 +230,16 @@ class DecodeEngine:
             # must not leak into shared-exponent groups (see model_step's
             # valid_lengths note). Key-generic so both the fp and the
             # MXINT8-quantized cache layouts work.
+            def slot_axis(v):
+                # per-slot scalars ("flushed") have the slot axis leading;
+                # cache tensors carry it at axis 1 (after the layer axis)
+                return 0 if v.ndim == 1 else 1
+
             if full:
                 batch_cache = {k: jnp.zeros_like(v) for k, v in cache.items()}
             else:
                 batch_cache = {
-                    k: jnp.zeros_like(jnp.take(v, slots, axis=1))
+                    k: jnp.zeros_like(jnp.take(v, slots, axis=slot_axis(v)))
                     for k, v in cache.items()
                 }
             logits, batch_cache = _step_math(
@@ -249,7 +254,9 @@ class DecodeEngine:
                 cache = batch_cache
             else:
                 cache = {
-                    k: cache[k].at[:, slots].set(batch_cache[k])
+                    k: (cache[k].at[slots].set(batch_cache[k])
+                        if cache[k].ndim == 1
+                        else cache[k].at[:, slots].set(batch_cache[k]))
                     for k in cache
                 }
             last = jnp.take_along_axis(

@@ -86,6 +86,8 @@ def init_quantized_kv_cache(
     head_dim: int,
     max_len: int,
     group: int = 16,
+    staged: bool = False,
+    stage_width: int = 64,
 ) -> dict:
     """KV cache stored as MXINT8 codes + per-16-group int8 exponents:
     8.5 bits/value vs 16 for bf16 (~1.9x cache memory/bandwidth saving).
@@ -117,8 +119,28 @@ def init_quantized_kv_cache(
     ze = jnp.zeros(shape_e, jnp.int8)
     # group size is derivable from the shapes (codes dim / exps dim), so the
     # cache stays a pure array pytree (ints would become traced under jit)
-    return {"k_codes": z8, "k_exps": ze,
-            "v_codes": jnp.zeros_like(z8), "v_exps": jnp.zeros_like(ze)}
+    out = {"k_codes": z8, "k_exps": ze,
+           "v_codes": jnp.zeros_like(z8), "v_exps": jnp.zeros_like(ze)}
+    if staged:
+        # ring-staged write (round 5): decode tokens land in an SW-lane
+        # staging ring (tiny static-index RMW); completed 32-blocks migrate
+        # into the main cache once per ~16-32 steps
+        # (`cache_write.flush_stage_to_main`) instead of every step's
+        # 128-lane window RMW (~35 MB/layer to store 64 KB — the measured
+        # round-5 write cost). ``flushed``: per-slot 32-aligned boundary —
+        # positions [0, flushed) live in main, [flushed, pos] in the ring.
+        assert max_len % 128 == 0 and 128 % stage_width == 0 \
+            and stage_width % (2 * group) == 0, (max_len, stage_width)
+        sc = (num_layers, batch, kv_heads, head_dim, stage_width)
+        se = (num_layers, batch, kv_heads, head_dim // group, stage_width)
+        out.update({
+            "k_stage_codes": jnp.zeros(sc, jnp.int8),
+            "k_stage_exps": jnp.zeros(se, jnp.int8),
+            "v_stage_codes": jnp.zeros(sc, jnp.int8),
+            "v_stage_exps": jnp.zeros(se, jnp.int8),
+            "flushed": jnp.zeros((batch,), jnp.int32),
+        })
+    return out
 
 
 def cache_group(cache: dict) -> int:
@@ -129,6 +151,44 @@ def cache_group(cache: dict) -> int:
 
 def is_quantized_cache(cache: dict) -> bool:
     return "k_codes" in cache
+
+
+def is_staged_cache(cache: dict) -> bool:
+    return "k_stage_codes" in cache
+
+
+_STAGE_PAIRS = (("k_codes", "k_stage_codes"), ("k_exps", "k_stage_exps"),
+                ("v_codes", "v_stage_codes"), ("v_exps", "v_stage_exps"))
+
+
+def stage_boundary_sync(cache: dict, new_positions: jnp.ndarray,
+                        slot_mask: jnp.ndarray | None = None) -> dict:
+    """After a PREFILL wrote tokens [0, new_positions) into the MAIN cache,
+    establish the staged invariant: ``flushed = floor32(new_positions)`` and
+    the boundary tokens [flushed, new_positions) copied into the staging
+    ring (lane = token % SW) — the staged attention kernel reads positions
+    >= flushed exclusively from the ring. ``slot_mask`` restricts the sync
+    to admitted slots (continuing slots keep their state)."""
+    SW = cache["k_stage_codes"].shape[-1]
+    L = cache["k_codes"].shape[-1]
+    B = new_positions.shape[0]
+    fl = (new_positions // 32) * 32
+    if slot_mask is None:
+        slot_mask = jnp.ones((B,), bool)
+    j = jnp.arange(SW)[None, :]
+    t = fl[:, None] + jnp.remainder(j - fl[:, None], SW)        # (B, SW)
+    valid = (t < new_positions[:, None]) & slot_mask[:, None]
+    tc = jnp.clip(t, 0, L - 1)
+    out = dict(cache)
+    for main_key, stage_key in _STAGE_PAIRS:
+        main = cache[main_key]                                   # (NL,B,KVH,r,L)
+        idx = jnp.broadcast_to(tc[None, :, None, None, :],
+                               main.shape[:-1] + (SW,))
+        gathered = jnp.take_along_axis(main, idx, axis=-1)
+        out[stage_key] = jnp.where(valid[None, :, None, None, :],
+                                   gathered, cache[stage_key])
+    out["flushed"] = jnp.where(slot_mask, fl, cache["flushed"])
+    return out
 
 
 def update_layer_cache_quantized(

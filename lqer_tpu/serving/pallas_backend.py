@@ -207,6 +207,20 @@ def _mlp_fusable(layer_prefix, cfg, params, layer_qcfg, tile_k):
     return widths
 
 
+def pad_to_tile(n: int, cap: int = 1024, max_overhead: float = 0.06):
+    """(padded_n, tile): smallest zero-padding of ``n`` that admits a LARGE
+    tile. Grid-step sequencing costs dominate small-tile kernels at decode
+    shapes — 7B's I=11008 tiles at 256 (860-step MLP grid, measured ~1.8 ms
+    of the ~4.1 ms kernel chain per 8 layers, round-5 probe) while padding
+    2.3% to 11264 tiles at 1024 (88 steps). Zero rows/columns are exact:
+    they contribute 0 to every dot and quantize to 0."""
+    for t in (1024, 512, 256, 128):
+        pad = -n % t
+        if n >= t and pad / n <= max_overhead:
+            return n + pad, t
+    return n, _pick_tile_n(n)
+
+
 def _pick_tile_n(n: int) -> int:
     # larger N tiles = fewer grid steps; measured ~10% on the 7B decode
     # shapes (experiments/bench_dequant_variants.py tile sweep)
@@ -411,12 +425,18 @@ def pack_lm_head(backend: dict, params: dict, width: int = 8,
         return backend
     fmt = MXFormat(width=width)
     tk = _pick_tile_k(K, TILE_K)
-    prep = prepare_w4_weights(w, fmt=fmt, tile_k=tk, tile_n=_pick_tile_n(V))
+    # zero-pad the vocab to a large tile (32000 tiles at 256 → a 500-step
+    # grid whose sequencing overhead dominates; 32768 tiles at 1024). Pad
+    # logits are sliced off in `decode._lm_head_logits` before sampling.
+    v_pad, tn = pad_to_tile(V)
+    if v_pad != V:
+        w = jnp.pad(jnp.asarray(w), ((0, v_pad - V), (0, 0)))
+    prep = prepare_w4_weights(w, fmt=fmt, tile_k=tk, tile_n=tn)
     backend["arrays"]["lm_head"] = {k: prep[k]
                                     for k in ("tiles", "a", "b", "bias")}
     backend["meta"]["lm_head"] = {
         "tile_k": tk, "tile_n": prep["tile_n"], "fmt": fmt,
-        "xa_width": None, "out_width": None,
+        "xa_width": None, "out_width": None, "n_real": V,
     }
     return backend
 
@@ -449,7 +469,9 @@ def _pack_mlp(lp, cfg, params, layer_qcfg, tile_k, arrays, meta,
     qc_up = (models._proj_qcfg(layer_qcfg, up_rel.rsplit(".", 1)[-1])
              if up_rel else None)
     tk = _pick_tile_k(params[f"{lp}.{gate_rel}.weight"].shape[1], tile_k)
-    tk2 = _pick_tile_k(params[f"{lp}.{down_rel}.weight"].shape[1], tile_k)
+    i_dim = params[f"{lp}.{gate_rel}.weight"].shape[0]
+    i_pad, ti = pad_to_tile(i_dim)
+    tk2 = _pick_tile_k(i_pad, tile_k)
     prep = prepare_mlp_weights(
         gp(gate_rel, "weight"),
         gp(up_rel, "weight") if up_rel else None,
@@ -462,8 +484,9 @@ def _pack_mlp(lp, cfg, params, layer_qcfg, tile_k, arrays, meta,
         bias_up=qbias(up_rel, qc_up) if up_rel else None,
         bias_down=qbias(down_rel, qc_down),
         fmt=MXINT4, tile_k=tk, tile_k2=tk2,
-        tile_i=_pick_tile_n(params[f"{lp}.{gate_rel}.weight"].shape[0]),
+        tile_i=ti,
         tile_n=_pick_tile_n(params[f"{lp}.{down_rel}.weight"].shape[0]),
+        pad_i=i_pad,
     )
     key = f"{lp}.mlp_fused"
     static = {"gated", "fmt", "tile_k", "tile_k2", "tile_i", "tile_n"}

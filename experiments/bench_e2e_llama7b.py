@@ -157,9 +157,14 @@ def main():
     ap.add_argument("--eval-chunk", type=int, default=0,
                     help="also time a full-sequence eval chunk (GPTQ-style "
                     "perplexity forward) of this length through the kernels")
-    ap.add_argument("--cache", default="bf16", choices=["bf16", "mxint8"],
+    ap.add_argument("--cache", default="bf16",
+                    choices=["bf16", "mxint8", "mxint8-staged"],
                     help="KV-cache layout; mxint8 engages the quantized-"
-                    "cache decode-attention kernel (in-VMEM decode)")
+                    "cache decode-attention kernel (in-VMEM decode); "
+                    "mxint8-staged adds the round-5 ring-staged writes")
+    ap.add_argument("--w8-head", action="store_true",
+                    help="pack the lm_head (tied embed) at W8 "
+                    "(lm_head_width=8)")
     args = ap.parse_args()
 
     cfg = LlamaConfig.llama_7b()
@@ -176,11 +181,13 @@ def main():
 
     results = []
     for max_len in args.max_len:
-        cache_dtype = "mxint8" if args.cache == "mxint8" else jnp.bfloat16
+        cache_dtype = args.cache if args.cache.startswith("mxint8") \
+            else jnp.bfloat16
         engine = DecodeEngine(
             params, cfg, qcfgs, num_slots=args.slots, max_len=max_len,
             cache_dtype=cache_dtype, pallas_backend=backend,
             scan_layers=not args.no_scan,
+            lm_head_width=8 if args.w8_head else None,
             # release the per-prefix packed copy once stacked (~2.2 GB) —
             # only on the LAST length (earlier engines share the backend)
             consume_backend=(not args.no_scan

@@ -1092,6 +1092,394 @@ def decode_attention_quantized_streaming(
 
 
 # ---------------------------------------------------------------------------
+# Staged streaming decode attention (round 5, VERDICT r4 #5): ring-staged
+# writes + two-pass chunked-L attention, staging folded into both passes
+# ---------------------------------------------------------------------------
+def _stage_decode(upd, name_c, name_e, kv, d, group, SW, cache_mb,
+                  dot_dtype):
+    c = upd[name_c][kv]
+    e = upd[name_e][kv]
+    scale = jnp.exp2(e - cache_mb)
+    return (c.reshape(d // group, group, SW) * scale[:, None, :]
+            ).reshape(d, SW).astype(dot_dtype)
+
+
+def _stage_blend(pos, refs_in, refs_out, kcod, kexp, vcod, vexp, SW):
+    """Blend the fresh encoded rows into the staging ring at lane pos % SW;
+    write the aliased outputs and return the post-write values."""
+    r = pos % SW
+    upd = {}
+    for name, in_ref, out_ref, new_t in (
+            ("kc", refs_in[0], refs_out[0], kcod),
+            ("ke", refs_in[1], refs_out[1], kexp),
+            ("vc", refs_in[2], refs_out[2], vcod),
+            ("ve", refs_in[3], refs_out[3], vexp)):
+        cur = in_ref[0].astype(jnp.float32)         # (kc, rows, SW)
+        n = jnp.broadcast_to(new_t.T[:, :, None], cur.shape)
+        lane = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 2)
+        merged = jnp.where(lane == r, n, cur)
+        out_ref[0] = merged.astype(out_ref.dtype)
+        upd[name] = merged
+    return upd
+
+
+def _stats_kernel_staged(idx_ref, pos_ref, fl_ref, q_ref, kc_ref, ke_ref,
+                         ksc_ref, kse_ref, vsc_ref, vse_ref, kh_ref, vh_ref,
+                         st_o, ksc_o, kse_o, vsc_o, vse_o, acc,
+                         *, scaling, scale_query, group, q_mb, n_rep,
+                         cache_mb, l_chunk, dot_dtype):
+    """Pass 1 of the staged streaming step: running stats over the MAIN
+    chunks (positions < flushed) + the staging ring folded in at the last
+    chunk; the fresh token's K/V rows are encoded and blended into the
+    (aliased) staging outputs — the direct-write RMW and its launch both
+    disappear in the streaming regime too."""
+    from .cache_write import _encode_t
+
+    del idx_ref
+    b = pl.program_id(0)
+    lc = pl.program_id(2)
+    n_lc = pl.num_programs(2)
+    pos = pos_ref[b]
+    fl = fl_ref[b]
+    qs = q_ref[0, :, 0, :].astype(jnp.float32)
+    H, d = qs.shape
+    kvh = kc_ref.shape[1]
+    SW = ksc_ref.shape[3]
+
+    if scale_query:
+        qs = qs * scaling
+    if q_mb is not None:
+        qs = _quantize_sublane_groups_signed(qs.T, q_mb, group).T
+
+    kvals = kh_ref[0, :, 0, :].astype(jnp.float32)
+    vvals = vh_ref[0, :, 0, :].astype(jnp.float32)
+    kcod, kexp = _encode_t(kvals.T, group)
+    vcod, vexp = _encode_t(vvals.T, group)
+    upd = _stage_blend(pos, (ksc_ref, kse_ref, vsc_ref, vse_ref),
+                       (ksc_o, kse_o, vsc_o, vse_o),
+                       kcod, kexp, vcod, vexp, SW)
+
+    base = lc * l_chunk
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, l_chunk), 1) + base
+    ok = kv_idx < fl                                 # main: [0, flushed)
+
+    def decode_t(c_ref, e_ref, kv):
+        c = c_ref[0, kv].astype(jnp.float32)
+        e = e_ref[0, kv].astype(jnp.float32)
+        scale = jnp.exp2(e - cache_mb)
+        return (c.reshape(d // group, group, l_chunk) * scale[:, None, :]
+                ).reshape(d, l_chunk).astype(dot_dtype)
+
+    rows = []
+    for kv in range(kvh):
+        ktd = decode_t(kc_ref, ke_ref, kv)
+        q_kv = qs[kv * n_rep:(kv + 1) * n_rep]
+        rows.append(jax.lax.dot_general(
+            q_kv.astype(dot_dtype), ktd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    s = rows[0] if kvh == 1 else jnp.concatenate(rows, axis=0)
+    if not scale_query:
+        s = s * scaling
+    s = jnp.where(ok, s, -jnp.inf)
+    m_c = jnp.max(s, axis=1, keepdims=True).T
+
+    @pl.when(lc == 0)
+    def _():
+        acc[0:1, :] = jnp.full((1, H), -jnp.inf, jnp.float32)
+        acc[1:2, :] = jnp.zeros((1, H), jnp.float32)
+
+    m_old = acc[0:1, :]
+    m_new = jnp.maximum(m_old, m_c)
+    resc = jnp.where(m_old == -jnp.inf, 0.0, jnp.exp(m_old - m_new))
+    d_c = jnp.sum(jnp.exp(s - m_new.T), axis=1, keepdims=True).T
+    acc[1:2, :] = acc[1:2, :] * resc + d_c
+    acc[0:1, :] = m_new
+
+    @pl.when(lc == n_lc - 1)
+    def _():
+        # fold the staging ring in as the final block
+        st_idx = jax.lax.broadcasted_iota(jnp.int32, (1, SW), 1)
+        t_lane = pos - jnp.remainder(pos - st_idx, SW)
+        ok_st = t_lane >= fl
+        rows_s = []
+        for kv in range(kvh):
+            kst = _stage_decode(upd, "kc", "ke", kv, d, group, SW,
+                                cache_mb, dot_dtype)
+            q_kv = qs[kv * n_rep:(kv + 1) * n_rep]
+            rows_s.append(jax.lax.dot_general(
+                q_kv.astype(dot_dtype), kst,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        s_s = rows_s[0] if kvh == 1 else jnp.concatenate(rows_s, axis=0)
+        if not scale_query:
+            s_s = s_s * scaling
+        s_s = jnp.where(ok_st, s_s, -jnp.inf)
+        m_c2 = jnp.max(s_s, axis=1, keepdims=True).T
+        m_old2 = acc[0:1, :]
+        m_new2 = jnp.maximum(m_old2, m_c2)
+        resc2 = jnp.where(m_old2 == -jnp.inf, 0.0, jnp.exp(m_old2 - m_new2))
+        d_c2 = jnp.sum(jnp.exp(s_s - m_new2.T), axis=1, keepdims=True).T
+        st_o[0:1, :] = m_new2
+        st_o[1:2, :] = acc[1:2, :] * resc2 + d_c2
+
+
+def _out_kernel_staged(idx_ref, pos_ref, fl_ref, q_ref, kc_ref, ke_ref,
+                       vc_ref, ve_ref, ksc_ref, kse_ref, vsc_ref, vse_ref,
+                       st_ref, o_ref, acc,
+                       *, scaling, scale_query, group, q_mb, p_mb, n_rep,
+                       cache_mb, l_chunk, dot_dtype):
+    """Pass 2: chunked P·V over the main cache (positions < flushed) with
+    final stats, plus the staging ring's contribution at the last chunk.
+    Staging inputs arrive POST-pass-1 (aliased write), so the fresh token
+    is already in the ring."""
+    del idx_ref
+    b = pl.program_id(0)
+    lc = pl.program_id(2)
+    n_lc = pl.num_programs(2)
+    pos = pos_ref[b]
+    fl = fl_ref[b]
+    qs = q_ref[0, :, 0, :].astype(jnp.float32)
+    H, d = qs.shape
+    kvh = kc_ref.shape[1]
+    SW = ksc_ref.shape[3]
+
+    if scale_query:
+        qs = qs * scaling
+    if q_mb is not None:
+        qs = _quantize_sublane_groups_signed(qs.T, q_mb, group).T
+
+    base = lc * l_chunk
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, l_chunk), 1) + base
+    ok = kv_idx < fl
+
+    def decode_t(c_ref, e_ref, kv):
+        c = c_ref[0, kv].astype(jnp.float32)
+        e = e_ref[0, kv].astype(jnp.float32)
+        scale = jnp.exp2(e - cache_mb)
+        return (c.reshape(d // group, group, l_chunk) * scale[:, None, :]
+                ).reshape(d, l_chunk).astype(dot_dtype)
+
+    m = (st_ref[0:1, :] if st_ref.ndim == 2 else st_ref[0, 0:1, :]).T
+    denom = (st_ref[1:2, :] if st_ref.ndim == 2 else st_ref[0, 1:2, :]).T
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+
+    rows = []
+    for kv in range(kvh):
+        ktd = decode_t(kc_ref, ke_ref, kv)
+        q_kv = qs[kv * n_rep:(kv + 1) * n_rep]
+        rows.append(jax.lax.dot_general(
+            q_kv.astype(dot_dtype), ktd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    s = rows[0] if kvh == 1 else jnp.concatenate(rows, axis=0)
+    if not scale_query:
+        s = s * scaling
+    s = jnp.where(ok, s, -jnp.inf)
+    p = jnp.exp(s - m) / denom
+    p_t = p.T
+    if p_mb is not None:
+        p_t = _quantize_sublane_groups(p_t, p_mb, group)
+    p_t = p_t.astype(dot_dtype)
+
+    @pl.when(lc == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    for kv in range(kvh):
+        vtd = decode_t(vc_ref, ve_ref, kv)
+        o_t = jnp.dot(vtd, p_t[:, kv * n_rep:(kv + 1) * n_rep],
+                      preferred_element_type=jnp.float32)
+        acc[kv * n_rep:(kv + 1) * n_rep, :] += o_t.T
+
+    @pl.when(lc == n_lc - 1)
+    def _():
+        st_idx = jax.lax.broadcasted_iota(jnp.int32, (1, SW), 1)
+        t_lane = pos - jnp.remainder(pos - st_idx, SW)
+        ok_st = t_lane >= fl
+        upd = {"kc": ksc_ref[0].astype(jnp.float32),
+               "ke": kse_ref[0].astype(jnp.float32),
+               "vc": vsc_ref[0].astype(jnp.float32),
+               "ve": vse_ref[0].astype(jnp.float32)}
+        rows_s = []
+        for kv in range(kvh):
+            kst = _stage_decode(upd, "kc", "ke", kv, d, group, SW,
+                                cache_mb, dot_dtype)
+            q_kv = qs[kv * n_rep:(kv + 1) * n_rep]
+            rows_s.append(jax.lax.dot_general(
+                q_kv.astype(dot_dtype), kst,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        s_s = rows_s[0] if kvh == 1 else jnp.concatenate(rows_s, axis=0)
+        if not scale_query:
+            s_s = s_s * scaling
+        s_s = jnp.where(ok_st, s_s, -jnp.inf)
+        p_s = jnp.exp(s_s - m) / denom
+        p_s_t = p_s.T
+        if p_mb is not None:
+            p_s_t = _quantize_sublane_groups(p_s_t, p_mb, group)
+        p_s_t = p_s_t.astype(dot_dtype)
+        for kv in range(kvh):
+            vst = _stage_decode(upd, "vc", "ve", kv, d, group, SW,
+                                cache_mb, dot_dtype)
+            o_t = jnp.dot(vst, p_s_t[:, kv * n_rep:(kv + 1) * n_rep],
+                          preferred_element_type=jnp.float32)
+            acc[kv * n_rep:(kv + 1) * n_rep, :] += o_t.T
+        o_ref[0, :, 0, :] = acc[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scaling", "scale_query", "group", "q_width", "p_width",
+                     "l_chunk", "out_dtype", "interpret"),
+)
+def decode_attention_quantized_streaming_staged(
+    q: jnp.ndarray,          # (B, H, 1, d)
+    k_codes: jnp.ndarray,    # (NL, B, KVH, d, L) — layer-stacked ONLY
+    k_exps: jnp.ndarray,
+    v_codes: jnp.ndarray,
+    v_exps: jnp.ndarray,
+    ks_codes: jnp.ndarray,   # (NL, B, KVH, d, SW) staging ring
+    ks_exps: jnp.ndarray,
+    vs_codes: jnp.ndarray,
+    vs_exps: jnp.ndarray,
+    kh: jnp.ndarray,         # (B, KVH, 1, d) RAW new rows
+    vh: jnp.ndarray,
+    positions: jnp.ndarray,  # (B,)
+    flushed: jnp.ndarray,    # (B,) 16-aligned
+    layer_index,             # (1,)
+    *,
+    scaling: float,
+    scale_query: bool = False,
+    group: int = 16,
+    q_width: int | None = 8,
+    p_width: int | None = 8,
+    l_chunk: int = 2048,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> tuple:
+    """Single logical step for the streaming-L regime with the ring-staged
+    cache: pass 1 writes the fresh token into the staging ring (aliased)
+    and computes softmax stats over main chunks + ring; pass 2 accumulates
+    P·V over main chunks + ring. Returns (attn, ks_codes, ks_exps,
+    vs_codes, vs_exps). No sliding-window support."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, S, d = q.shape
+    assert S == 1, S
+    assert k_codes.ndim == 5, ("layer-stacked cache required", k_codes.shape)
+    KVH, L = k_codes.shape[-3], k_codes.shape[-1]
+    SW = ks_codes.shape[-1]
+    n_rep = H // KVH
+    assert d // k_exps.shape[-2] == group
+    assert L % l_chunk == 0 and l_chunk % group == 0, (L, l_chunk, group)
+    assert SW % group == 0, SW
+    n_lc = L // l_chunk
+    kc = _kvh_chunk(KVH, l_chunk, d, 1 + 1 / group)
+    G, Hq = KVH // kc, kc * n_rep
+    q_mb = None if q_width is None else q_width - 1
+    p_mb = None if p_width is None else p_width - 1
+    dot_dtype = jnp.float32 if interpret else jnp.bfloat16
+
+    def iw(f):
+        return lambda b, g, lc, idx: (idx[0], *f(b, g, lc))
+
+    def i0(f):
+        return lambda b, g, lc, idx: f(b, g, lc)
+
+    spec_c = pl.BlockSpec((None, 1, kc, d, l_chunk),
+                          iw(lambda b, g, lc: (b, g, 0, lc)),
+                          memory_space=pltpu.VMEM)
+    spec_e = pl.BlockSpec((None, 1, kc, d // group, l_chunk),
+                          iw(lambda b, g, lc: (b, g, 0, lc)),
+                          memory_space=pltpu.VMEM)
+    spec_sc = pl.BlockSpec((None, 1, kc, d, SW),
+                           iw(lambda b, g, lc: (b, g, 0, 0)),
+                           memory_space=pltpu.VMEM)
+    spec_se = pl.BlockSpec((None, 1, kc, d // group, SW),
+                           iw(lambda b, g, lc: (b, g, 0, 0)),
+                           memory_space=pltpu.VMEM)
+    spec_new = pl.BlockSpec((1, kc, 1, d), i0(lambda b, g, lc: (b, g, 0, 0)),
+                            memory_space=pltpu.VMEM)
+    spec_q = pl.BlockSpec((1, Hq, 1, d), i0(lambda b, g, lc: (b, g, 0, 0)),
+                          memory_space=pltpu.VMEM)
+    spec_smem = pl.BlockSpec((B,), i0(lambda b, g, lc: (0,)),
+                             memory_space=pltpu.SMEM)
+    stats_spec = pl.BlockSpec((None, None, 2, Hq),
+                              i0(lambda b, g, lc: (b, g, 0, 0)),
+                              memory_space=pltpu.VMEM)
+
+    li = jnp.asarray(layer_index, jnp.int32).reshape(1)
+    pos32 = positions.astype(jnp.int32)
+    fl32 = flushed.astype(jnp.int32)
+
+    # ---- pass 1: stats + staging write ----
+    kern1 = functools.partial(
+        _stats_kernel_staged, scaling=scaling, scale_query=scale_query,
+        group=group, q_mb=q_mb, n_rep=n_rep, cache_mb=7.0,
+        l_chunk=l_chunk, dot_dtype=dot_dtype)
+    grid_spec1 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, G, n_lc),
+        in_specs=[spec_smem, spec_smem, spec_q, spec_c, spec_e,
+                  spec_sc, spec_se, spec_sc, spec_se, spec_new, spec_new],
+        out_specs=[stats_spec, spec_sc, spec_se, spec_sc, spec_se],
+        scratch_shapes=[pltpu.VMEM((2, Hq), jnp.float32)],
+    )
+    # flat inputs: idx(0) pos(1) fl(2) q(3) kc(4) ke(5) ksc(6) kse(7)
+    # vsc(8) vse(9) kh(10) vh(11); outputs: stats(0) + 4 staging arrays
+    stats, ksc2, kse2, vsc2, vse2 = pl.pallas_call(
+        kern1,
+        grid_spec=grid_spec1,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, 2, Hq), jnp.float32),
+            jax.ShapeDtypeStruct(ks_codes.shape, ks_codes.dtype),
+            jax.ShapeDtypeStruct(ks_exps.shape, ks_exps.dtype),
+            jax.ShapeDtypeStruct(vs_codes.shape, vs_codes.dtype),
+            jax.ShapeDtypeStruct(vs_exps.shape, vs_exps.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4},
+        interpret=interpret,
+    )(li, pos32, fl32, q, k_codes, k_exps,
+      ks_codes, ks_exps, vs_codes, vs_exps,
+      kh.astype(jnp.float32), vh.astype(jnp.float32))
+
+    # ---- pass 2: output over main + ring (ring now holds the fresh token)
+    kern2 = functools.partial(
+        _out_kernel_staged, scaling=scaling, scale_query=scale_query,
+        group=group, q_mb=q_mb, p_mb=p_mb, n_rep=n_rep, cache_mb=7.0,
+        l_chunk=l_chunk, dot_dtype=dot_dtype)
+    out_spec = pl.BlockSpec((1, Hq, 1, d),
+                            i0(lambda b, g, lc: (b, g, 0, 0)),
+                            memory_space=pltpu.VMEM)
+    grid_spec2 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, G, n_lc),
+        in_specs=[spec_smem, spec_smem, spec_q, spec_c, spec_e, spec_c,
+                  spec_e, spec_sc, spec_se, spec_sc, spec_se, stats_spec],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((Hq, d), jnp.float32)],
+    )
+    attn = pl.pallas_call(
+        kern2,
+        grid_spec=grid_spec2,
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * H * (L + SW) * d,
+            bytes_accessed=3 * B * KVH * (L + 2 * SW) * (d + d // group),
+            transcendentals=2 * B * H * (L + SW),
+        ),
+        interpret=interpret,
+    )(li, pos32, fl32, q, k_codes, k_exps, v_codes, v_exps,
+      ksc2, kse2, vsc2, vse2, stats)
+    return attn, ksc2, kse2, vsc2, vse2
+
+
+# ---------------------------------------------------------------------------
 # Fused write+attend: cache insert merged into the attention kernel
 # ---------------------------------------------------------------------------
 def _kernel_quantized_write(idx_ref, pos_ref, q_ref, kc_ref, ke_ref, vc_ref,

@@ -363,6 +363,168 @@ def _kernel_variant(rank: int, has_bias: bool, drop_scalar: bool = False):
     return k_fn
 
 
+def _unpack_kernel(*refs, mb: int, group: int, tile_k: int,
+                   drop_scalar: bool):
+    """One (k, n) tile: co-packed slab -> dequantized bf16 block."""
+    if drop_scalar:
+        refs = refs[1:]
+    t_ref, o_ref = refs
+    ge = tile_k // group
+    if mb > 3:
+        c = t_ref[0:tile_k, :].astype(jnp.float32)
+        e = t_ref[tile_k:tile_k + ge, :]
+        scale = jnp.exp2(e.astype(jnp.float32) - mb)
+        tn = c.shape[1]
+        w = (c.reshape(ge, group, tn) * scale[:, None, :]
+             ).reshape(tile_k, tn)
+    else:
+        tk2 = tile_k // 2
+        p = t_ref[0:tk2, :].astype(jnp.int32)
+        e = t_ref[tk2:tk2 + ge, :]
+        low = (p << 28) >> 28
+        high = (p << 24) >> 28
+        scale = jnp.exp2(e.astype(jnp.float32) - mb)
+        tn = p.shape[1]
+        hg = tk2 // group
+
+        def scaled(codes, s):
+            return (codes.astype(jnp.float32).reshape(hg, group, tn)
+                    * s[:, None, :]).reshape(tk2, tn)
+
+        w = jnp.concatenate([scaled(low, scale[:hg]),
+                             scaled(high, scale[hg:])], axis=0)
+    o_ref[...] = w.astype(o_ref.dtype)
+
+
+def _unpack_tiles_pallas(tiles, tile_k, tile_n, fmt, layer_index,
+                         interpret):
+    """Pallas dequant pass: tile slab in, bf16 (tile_k, tile_n) block out.
+    The jnp unpack's (nk, nn, tile_k, tn)->(K, N) transpose materializes a
+    full-weight-size relayout copy that measured ~8 ms/layer at 7B prefill;
+    this kernel writes each block straight to its (k, n) home."""
+    indexed = layer_index is not None
+    nk, nn, S, tn = tiles.shape[-4:]  # noqa: F841 (S used via in_spec)
+    K, N = nk * tile_k, nn * tile_n
+
+    def im_t(k, n, *idx):
+        return (idx[0][0], k, n, 0, 0) if indexed else (k, n, 0, 0)
+
+    def im_o(k, n, *idx):
+        return (k, n)
+
+    in_spec = pl.BlockSpec(
+        ((None,) if indexed else ()) + (None, None, S, tn), im_t,
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_k, tile_n), im_o,
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _unpack_kernel, mb=fmt.mantissa_bits, group=fmt.group_size,
+        tile_k=tile_k, drop_scalar=indexed)
+    if indexed:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nk, nn),
+            in_specs=[in_spec], out_specs=out_spec)
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((K, N), jnp.bfloat16),
+            interpret=interpret,
+        )(jnp.asarray(layer_index, jnp.int32).reshape(1), tiles)
+    return pl.pallas_call(
+        kernel, grid=(nk, nn), in_specs=[in_spec], out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((K, N), jnp.bfloat16),
+        interpret=interpret,
+    )(tiles)
+
+
+def unpack_tiles_to_bf16(tiles: jnp.ndarray, tile_k: int, tile_n: int,
+                         fmt: MXFormat, layer_index=None,
+                         use_pallas: bool | None = None) -> jnp.ndarray:
+    """Dequantize tile-major co-packed weights back to a dense bf16 (K, N)
+    matrix IN HBM (one XLA pass). Large-M path (prefill/eval): the decode
+    kernel's grid refetches and re-dequantizes every weight tile once per
+    128-row M tile — at a 2048-token prefill that is 16 redundant passes
+    over the full weight stream; dequantizing ONCE and letting XLA's dense
+    dot run the MXU at its own streaming rate (~744 GB/s measured) is
+    strictly better past a few hundred rows. Bit-identical to the kernel's
+    in-VMEM dequant (`_dot_w4`) by construction: same codes, same
+    ``2^(e - mb)`` scales, same bf16 rounding.
+
+    On TPU the unpack runs as a Pallas pass (`_unpack_tiles_pallas` — the
+    jnp path's final transpose materializes a full-weight relayout copy);
+    ``use_pallas=False`` forces the jnp reference (tests)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _unpack_tiles_pallas(tiles, tile_k, tile_n, fmt,
+                                    layer_index, interpret=False)
+    if layer_index is not None:
+        tiles = tiles[jnp.asarray(layer_index, jnp.int32).reshape(())]
+    nk, nn, S, tn = tiles.shape
+    assert tn == tile_n, (tn, tile_n)
+    ge = tile_k // fmt.group_size
+    mb = fmt.mantissa_bits
+    if fmt.width == 4:
+        half = tile_k // 2
+        p = tiles[:, :, :half, :].astype(jnp.int32)
+        e = tiles[:, :, half:half + ge, :]
+        low = (p << 28) >> 28
+        high = (p << 24) >> 28
+        codes = jnp.concatenate([low, high], axis=2)   # (nk, nn, tile_k, tn)
+    else:
+        codes = tiles[:, :, :tile_k, :].astype(jnp.int32)
+        e = tiles[:, :, tile_k:tile_k + ge, :]
+    scale = jnp.exp2(e.astype(jnp.float32) - mb)       # (nk, nn, ge, tn)
+    w = (codes.astype(jnp.float32)
+         .reshape(nk, nn, ge, fmt.group_size, tn) * scale[:, :, :, None, :]
+         ).astype(jnp.bfloat16)
+    # (nk, nn, ge, g, tn) -> (K, N)
+    return w.reshape(nk, nn, tile_k, tn).transpose(0, 2, 1, 3) \
+        .reshape(nk * tile_k, nn * tn)
+
+
+def qlinear_w4_dense_largeM(
+    x_q: jnp.ndarray,  # (M, K) activation-quantized (exact in bf16)
+    prep: dict,
+    *,
+    quant_xa_width: int | None = 8,
+    quant_out_width: int | None = 8,
+    out_dtype=jnp.float32,
+    layer_index=None,
+) -> jnp.ndarray:
+    """Large-M (prefill/eval) path: dequantize the packed weights once to
+    HBM bf16 and run XLA dense dots — same math as the fused kernel
+    (`_dot_w4` weights, `_quantize_rows_mx` partial quantizers) up to f32
+    accumulation order."""
+    fmt: MXFormat = prep["fmt"]
+    w = unpack_tiles_to_bf16(prep["tiles"], prep["tile_k"], prep["tile_n"],
+                             fmt, layer_index=layer_index)
+    xb = x_q.astype(jnp.bfloat16)
+    y = jnp.dot(xb, w, preferred_element_type=jnp.float32)
+    a, b = prep.get("a"), prep.get("b")
+    if layer_index is not None:
+        layer_index = jnp.asarray(layer_index, jnp.int32).reshape(())
+    if a is not None:
+        if layer_index is not None:
+            a = a[layer_index]
+            b = b[layer_index]
+        xa = jnp.dot(xb.astype(jnp.float32), a.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        if quant_xa_width is not None:
+            xa = _quantize_rows_mx(xa, quant_xa_width - 1)
+        corr = jnp.dot(xa.astype(jnp.bfloat16).astype(jnp.float32),
+                       b.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        if quant_out_width is not None:
+            corr = _quantize_rows_mx(corr, quant_out_width - 1)
+        y = y + corr
+    bias = prep.get("bias")
+    if bias is not None:
+        if layer_index is not None:
+            bias = bias[layer_index]
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def qlinear_w4_fused(
     x_q: jnp.ndarray,
     prep: dict,

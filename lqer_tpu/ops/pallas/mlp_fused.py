@@ -347,7 +347,11 @@ def _mlp_call(
         pltpu.VMEM((tile_m, tile_n), jnp.float32),   # acc_d
         pltpu.VMEM((tile_m, max(rank_gu, 8)), jnp.float32),  # xa_gu
         pltpu.VMEM((tile_m, max(rank_d, 8)), jnp.float32),   # xa_d
-        pltpu.VMEM((tile_m, I), jnp.float32),        # intermediate
+        # intermediate in bf16: EXACT (phase 2 casts to bf16 anyway, and the
+        # act-quantized values are <=9-bit-mantissa grids); halves the
+        # dominant scratch (the f32 (128, 11264) block pushed the padded-I
+        # kernel 180 KB over the 16 MB VMEM budget at prefill)
+        pltpu.VMEM((tile_m, I), jnp.bfloat16),       # intermediate
     ]
     cost = pl.CostEstimate(
         flops=flops, bytes_accessed=bytes_acc, transcendentals=M * I)
@@ -481,3 +485,88 @@ def mlp_w4_fused(
         out_dtype=out_dtype, interpret=interpret, layer_index=layer_index,
     )
     return out[:M]
+
+
+def mlp_w4_dense_largeM(
+    x_q: jnp.ndarray,  # (M, K) activation-quantized (exact in bf16)
+    prep: dict,
+    *,
+    act_width: int | None = 8,
+    quant_xa_width: int | None = 8,
+    quant_out_width: int | None = 8,
+    out_dtype=jnp.float32,
+    layer_index=None,
+) -> jnp.ndarray:
+    """Large-M (prefill/eval) MLP: dequantize the packed gate/up/down
+    weights once to HBM bf16 and run XLA dense dots (see
+    `dequant_gemm.unpack_tiles_to_bf16` — the megakernel refetches and
+    re-dequantizes every weight tile once per 128-row M tile). Same math as
+    the kernel (identical dequantized weights, `_quantize_rows_mx` partial
+    quantizers, in-bf16 intermediate) up to f32 accumulation order."""
+    from .dequant_gemm import unpack_tiles_to_bf16
+
+    if layer_index is not None:
+        layer_index = jnp.asarray(layer_index, jnp.int32).reshape(())
+    fmt: MXFormat = prep["fmt"]
+    gated = prep["gated"]
+    xa_mb = None if quant_xa_width is None else quant_xa_width - 1
+    out_mb = None if quant_out_width is None else quant_out_width - 1
+
+    def unpack(tiles, tile_k, tile_n):
+        return unpack_tiles_to_bf16(tiles, tile_k, tile_n, fmt,
+                                    layer_index=layer_index)
+
+    def li(a):
+        return a if (a is None or layer_index is None) else a[layer_index]
+
+    wg = unpack(prep["tg"], prep["tile_k"], prep["tile_i"])   # (K, I)
+    xb = x_q.astype(jnp.bfloat16)
+    y_g = jnp.dot(xb, wg, preferred_element_type=jnp.float32)
+    y_u = None
+    if gated:
+        wu = unpack(prep["tu"], prep["tile_k"], prep["tile_i"])
+        y_u = jnp.dot(xb, wu, preferred_element_type=jnp.float32)
+    a_gu = li(prep["a_gu"])
+    if a_gu is not None:
+        rank_gu = a_gu.shape[-1]
+        xa = jnp.dot(xb.astype(jnp.float32), a_gu.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        if xa_mb is not None:
+            xa = _quantize_rows_mx(xa, xa_mb)
+        half = rank_gu // 2 if gated else rank_gu
+
+        def corr(xa_part, b):
+            c = jnp.dot(xa_part.astype(jnp.bfloat16).astype(jnp.float32),
+                        li(b).astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+            return _quantize_rows_mx(c, out_mb) if out_mb is not None else c
+
+        y_g = y_g + corr(xa[:, :half], prep["b_g"])
+        if gated:
+            y_u = y_u + corr(xa[:, half:], prep["b_u"])
+    if li(prep["bias_g"]) is not None:
+        y_g = y_g + li(prep["bias_g"]).astype(jnp.float32)
+        if gated and li(prep["bias_u"]) is not None:
+            y_u = y_u + li(prep["bias_u"]).astype(jnp.float32)
+    h = jax.nn.silu(y_g) * y_u if gated else jnp.maximum(y_g, 0.0)
+    if act_width is not None:
+        h = _quantize_rows_mx(h, act_width - 1)
+
+    wd = unpack(prep["td"], prep["tile_k2"], prep["tile_n"])  # (I, N)
+    hb = h.astype(jnp.bfloat16)
+    y = jnp.dot(hb, wd, preferred_element_type=jnp.float32)
+    a_d = li(prep["a_d"])
+    if a_d is not None:
+        xa_d = jnp.dot(hb.astype(jnp.float32), a_d.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        if xa_mb is not None:
+            xa_d = _quantize_rows_mx(xa_d, xa_mb)
+        c = jnp.dot(xa_d.astype(jnp.bfloat16).astype(jnp.float32),
+                    li(prep["b_d"]).astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+        if out_mb is not None:
+            c = _quantize_rows_mx(c, out_mb)
+        y = y + c
+    if li(prep["bias_d"]) is not None:
+        y = y + li(prep["bias_d"]).astype(jnp.float32)
+    return y.astype(out_dtype)

@@ -100,11 +100,20 @@ def _lm_head_logits(h, lm_head, backend, interpret=None):
         prep.update(backend["meta"]["lm_head"])
         n_real = prep.pop("n_real", None)
         b, s, k = h.shape
-        y = qlinear_w4_fused(
-            h.astype(jnp.bfloat16).reshape(b * s, k), prep,
-            quant_xa_width=None, quant_out_width=None,
-            interpret=interpret,
-        )
+        from ..serving.pallas_backend import _LARGEM_THRESHOLD
+
+        if b * s >= _LARGEM_THRESHOLD:
+            from ..ops.pallas.dequant_gemm import qlinear_w4_dense_largeM
+
+            y = qlinear_w4_dense_largeM(
+                h.astype(jnp.bfloat16).reshape(b * s, k), prep,
+                quant_xa_width=None, quant_out_width=None)
+        else:
+            y = qlinear_w4_fused(
+                h.astype(jnp.bfloat16).reshape(b * s, k), prep,
+                quant_xa_width=None, quant_out_width=None,
+                interpret=interpret,
+            )
         if n_real is not None and y.shape[-1] != n_real:
             y = y[:, :n_real]  # vocab zero-padded for large tiles
         return y.reshape(b, s, -1).astype(h.dtype)
@@ -438,18 +447,31 @@ def _staged_write_attend(cache, qh, kh, vh, positions, li, attn_cfg, scaling,
     from ..ops.pallas.decode_attention import (
         _kvh_chunk_fits,
         decode_attention_quantized_staged,
+        decode_attention_quantized_streaming_staged,
         decode_attention_widths_quantized,
+        streaming_l_chunk,
     )
 
-    if not _kvh_chunk_fits(max_len, head_dim):
-        return None  # streaming-L regime: eager staged fallback
-    attn, ks, ke, vs, ve = decode_attention_quantized_staged(
-        qh, *(cache[k] for k in _MAIN_KEYS),
-        *(cache[k] for k in _STAGE_KEYS),
-        kh, vh, positions, cache["flushed"], li,
-        scaling=scaling, scale_query=scale_query,
-        **decode_attention_widths_quantized(attn_cfg),
-    )
+    widths = decode_attention_widths_quantized(attn_cfg)
+    if _kvh_chunk_fits(max_len, head_dim):
+        attn, ks, ke, vs, ve = decode_attention_quantized_staged(
+            qh, *(cache[k] for k in _MAIN_KEYS),
+            *(cache[k] for k in _STAGE_KEYS),
+            kh, vh, positions, cache["flushed"], li,
+            scaling=scaling, scale_query=scale_query, **widths,
+        )
+    else:
+        # streaming-L regime (round 5, VERDICT r4 #5): two-pass chunked
+        # attention with the staging write folded into pass 1 — a single
+        # logical step, no direct main-window RMW
+        lc = streaming_l_chunk(max_len)
+        assert lc is not None, (max_len, "no group-multiple l_chunk")
+        attn, ks, ke, vs, ve = decode_attention_quantized_streaming_staged(
+            qh, *(cache[k] for k in _MAIN_KEYS),
+            *(cache[k] for k in _STAGE_KEYS),
+            kh, vh, positions, cache["flushed"], li,
+            scaling=scaling, scale_query=scale_query, l_chunk=lc, **widths,
+        )
     return attn, {**cache, "k_stage_codes": ks, "k_stage_exps": ke,
                   "v_stage_codes": vs, "v_stage_exps": ve}
 
@@ -782,15 +804,13 @@ def make_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
     requires max_len % 128 == 0 and no sliding window)."""
     kv_heads = cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.num_attention_heads
     if dtype == "mxint8-staged":
-        from ..ops.pallas.decode_attention import _kvh_chunk_fits
-
         eligible = (getattr(cfg, "sliding_window", None) is None
-                    and max_len % 128 == 0
-                    and _kvh_chunk_fits(max_len, cfg.head_dim))
+                    and max_len % 128 == 0)
         if not eligible:
-            # sliding-window / unaligned / streaming-L regimes keep the
-            # direct-write quantized cache (the staged kernels don't cover
-            # them); plain mxint8 is semantically identical
+            # sliding-window / unaligned regimes keep the direct-write
+            # quantized cache (the staged kernels don't cover them); plain
+            # mxint8 is semantically identical. Streaming-L IS covered
+            # (decode_attention_quantized_streaming_staged).
             import logging
 
             logging.getLogger(__name__).info(
@@ -1097,6 +1117,7 @@ def llama_step_scan(
         cache = _staged_flush_maybe(cache, positions)  # staged cache only
     embed = rest["model.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
+    h_dtype = h.dtype
     q_abs = _abs_positions(positions, s)
     mask = _cache_mask(q_abs, max_len, h.dtype,
                        window=getattr(cfg, "sliding_window", None))
@@ -1204,7 +1225,9 @@ def llama_step_scan(
                                "mlp.down_proj", q["down_proj"], b_meta,
                                b_arrays, layer_index=li)
             h = residual + y
-            return (h, cache), None
+            # kernels emit f32; pin the carry to the stream dtype (bf16
+            # embeddings => bf16 residual stream, the dense-serving norm)
+            return (h.astype(h_dtype), cache), None
 
         return body
 
@@ -1251,6 +1274,7 @@ def opt_step_scan(
         cache = _staged_flush_maybe(cache, positions)  # staged cache only
     embed = rest["model.decoder.embed_tokens.weight"]
     h = jnp.take(embed, input_ids, axis=0)
+    h_dtype = h.dtype
     if rest.get("model.decoder.project_in.weight") is not None:  # OPT-350m
         h = jnp.matmul(h, rest["model.decoder.project_in.weight"].T)
     q_abs = _abs_positions(positions, s)
@@ -1354,7 +1378,9 @@ def opt_step_scan(
             h = residual + y
             if not cfg.do_layer_norm_before:
                 h = layer_norm(h, rel_mod(sl, "final_layer_norm"))
-            return (h, cache), None
+            # kernels emit f32; pin the carry to the stream dtype (bf16
+            # embeddings => bf16 residual stream, the dense-serving norm)
+            return (h.astype(h_dtype), cache), None
 
         return body
 

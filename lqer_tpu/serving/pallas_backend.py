@@ -23,6 +23,14 @@ from ..utils.logging import get_logger
 logger = get_logger("serving.pallas")
 
 TILE_K = 1024  # cap; per-module tiles via _pick_tile_k
+# token count at which the linears switch from the VMEM-resident fused
+# kernels (decode: weights fetched once, activations tiny) to the
+# dequant-once-to-HBM + XLA-dense-dot path (prefill/eval: the kernel grid
+# refetches the whole weight stream per 128-row M tile). Overridable for
+# A/B via LQER_LARGEM_THRESHOLD.
+import os as _os
+
+_LARGEM_THRESHOLD = int(_os.environ.get("LQER_LARGEM_THRESHOLD", "512"))
 
 # Projections sharing one input activation, fusable into a single kernel
 # launch by concatenating their (packed) weights along the output axis —
@@ -519,12 +527,22 @@ def serving_mlp(
     intermediate stays in VMEM per M tile). ``qc_down`` is kept for
     interface stability (its activation format is baked into the packed
     meta as ``act_width``)."""
-    from ..ops.pallas.mlp_fused import mlp_w4_fused
+    from ..ops.pallas.mlp_fused import mlp_w4_dense_largeM, mlp_w4_fused
 
     prep = dict(backend["arrays"][key])
     prep.update(backend["meta"][key])
     b, s, k = x.shape
     x_q = qc_first.x_quantizer(x).astype(jnp.bfloat16).reshape(b * s, k)
+    if b * s >= _LARGEM_THRESHOLD:
+        # prefill/eval: the megakernel would refetch + re-dequantize the
+        # weights once per 128-row M tile; dequant-once + XLA dense dots
+        y = mlp_w4_dense_largeM(
+            x_q, prep, act_width=prep["act_width"],
+            quant_xa_width=prep["xa_width"],
+            quant_out_width=prep["out_width"],
+            out_dtype=jnp.float32, layer_index=layer_index,
+        )
+        return y.reshape(b, s, -1).astype(x.dtype)
     y = mlp_w4_fused(
         x_q, prep, tile_m=128, tile_i=prep["tile_i"],
         tile_n=prep["tile_n"], act_width=prep["act_width"],
@@ -551,6 +569,16 @@ def serving_linear(
     prep.update(backend["meta"][prefix])
     b, s, k = x.shape
     x_q = qc.x_quantizer(x).astype(jnp.bfloat16).reshape(b * s, k)
+    if b * s >= _LARGEM_THRESHOLD:
+        from ..ops.pallas.dequant_gemm import qlinear_w4_dense_largeM
+
+        y = qlinear_w4_dense_largeM(
+            x_q, prep,
+            quant_xa_width=prep["xa_width"],
+            quant_out_width=prep["out_width"],
+            out_dtype=jnp.float32, layer_index=layer_index,
+        )
+        return y.reshape(b, s, -1).astype(x.dtype)
     y = qlinear_w4_fused(
         x_q,
         prep,

@@ -154,3 +154,25 @@ def test_flush_straddling_window_boundary():
                 np.testing.assert_array_equal(
                     o_np[:, b, :, :, t], src,
                     err_msg=f"array {i} slot {b} tok {t}")
+
+
+def test_staged_streaming_matches_one_pass():
+    """The streaming staged kernel (chunked L) must agree with the one-pass
+    staged kernel on the same inputs (same staged write bytes, allclose
+    attention up to the online-softmax accumulation order)."""
+    from lqer_tpu.ops.pallas.decode_attention import (
+        decode_attention_quantized_streaming_staged,
+    )
+
+    main, stage, q, kh, vh, positions, flushed = _setup(11)
+    li = jnp.asarray([1], jnp.int32)
+    ref_attn, *ref_stage = decode_attention_quantized_staged(
+        q, *main, *stage, kh, vh, positions, flushed, li,
+        scaling=0.25, interpret=True)
+    got_attn, *got_stage = decode_attention_quantized_streaming_staged(
+        q, *main, *stage, kh, vh, positions, flushed, li,
+        scaling=0.25, l_chunk=64, interpret=True)
+    for r, g in zip(ref_stage, got_stage):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+    np.testing.assert_allclose(np.asarray(got_attn), np.asarray(ref_attn),
+                               rtol=2e-5, atol=2e-5)

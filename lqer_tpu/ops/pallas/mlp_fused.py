@@ -458,6 +458,14 @@ def mlp_w4_fused(
     ti, tn = prep["tile_i"], prep["tile_n"]
 
     tm = min(tile_m, M) if M >= 8 else 8
+    I_full = prep["tg"].shape[-3] * ti
+    # VMEM guard: the per-m-tile state (bf16 intermediate + f32 gate/up/down
+    # accumulators) must leave room for the double-buffered weight slabs —
+    # with tile_i=1024 (padded-I layouts) a 128-row tile overflows the 16 MB
+    # scoped budget at prefill (measured +748 KB, round 5); halve tile_m
+    # until the state fits ~4 MB.
+    while tm > 8 and tm * (2 * I_full + 8 * ti + 4 * tn) > 4 * 1024 * 1024:
+        tm //= 2
     if M % tm != 0 or M < 8:
         pad = -M % tm if M >= 8 else 8 - M
         x_q = jnp.pad(x_q, ((0, pad), (0, 0)))

@@ -288,6 +288,7 @@ def main():
                     backend_stacked=None if b_arrays is None else
                     {"arrays": b_arrays, "meta": b_stacked["meta"]},
                     fresh_prefill=True,
+                    logits_last_only=True,
                 )
                 nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
                 return ids.at[:, 0].set(nxt), None
@@ -325,7 +326,7 @@ def main():
                            + 2 * h_ * inter_ + inter_ * h_)
     attn_flops = 2 * 2 * cfg.num_attention_heads * ctx * ctx \
         * cfg.head_dim // 2  # QK^T + P·V, causal half
-    head_flops = 2 * ctx * h_ * cfg.vocab_size
+    head_flops = 2 * 1 * h_ * cfg.vocab_size  # last-position-only head
     pf_flops = (lin_flops + attn_flops) * layers * scale + head_flops
     TPU_PEAK = 197e12  # v5e bf16
     prefill_mfu = (pf_flops / t_prefill) / TPU_PEAK if on_tpu else 0.0

@@ -158,13 +158,19 @@ def main():
                     help="also time a full-sequence eval chunk (GPTQ-style "
                     "perplexity forward) of this length through the kernels")
     ap.add_argument("--cache", default="bf16",
-                    choices=["bf16", "mxint8", "mxint8-staged"],
+                    choices=["bf16", "mxint8", "mxint8-staged", "mxint4",
+                             "mxint4-staged"],
                     help="KV-cache layout; mxint8 engages the quantized-"
                     "cache decode-attention kernel (in-VMEM decode); "
                     "mxint8-staged adds the round-5 ring-staged writes")
     ap.add_argument("--w8-head", action="store_true",
                     help="pack the lm_head (tied embed) at W8 "
                     "(lm_head_width=8)")
+    ap.add_argument("--kv4", action="store_true",
+                    help="width-4 K/V operand quantizers (pair with "
+                    "--cache mxint4[-staged]; halves cache memory, see "
+                    "experiments/kv_cache_quality.py for the accuracy "
+                    "tradeoff)")
     args = ap.parse_args()
 
     cfg = LlamaConfig.llama_7b()
@@ -176,12 +182,24 @@ def main():
 
     logger.info("packing %d layers (rank %d)...", cfg.num_hidden_layers, rank)
     backend, params, qcfgs = build_7b_backend_and_params(cfg, rank)
+    if args.kv4:
+        q4 = dict(Q_CONFIG)
+        q4["matmul"] = {"name": "flexible",
+                        "x_quantizer": _q(8, [1, 16], True),
+                        "w_quantizer": _q(4, [1, 16], True)}
+        qcfgs = models.quantize_model(cfg, q4, {"linear": {"rank": rank}})
     n_packed = len(backend["meta"])
     logger.info("backend packed: %d kernel entries", n_packed)
+    if args.w8_head:
+        # head runs from the packed W8 tiles; the f32 tied embedding
+        # (524 MB at 7B) only serves lookups — bf16 halves it and was the
+        # HBM margin for the 8-slot 2048 staged config (round 5)
+        params["model.embed_tokens.weight"] = params[
+            "model.embed_tokens.weight"].astype(jnp.bfloat16)
 
     results = []
     for max_len in args.max_len:
-        cache_dtype = args.cache if args.cache.startswith("mxint8") \
+        cache_dtype = args.cache if args.cache.startswith("mxint") \
             else jnp.bfloat16
         engine = DecodeEngine(
             params, cfg, qcfgs, num_slots=args.slots, max_len=max_len,

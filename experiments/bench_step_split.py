@@ -53,8 +53,13 @@ def main():
                     help="cast the tied-embed lm_head to bf16 (the f32 "
                          "embed doubles the dense head stream)")
     ap.add_argument("--cache", default="mxint8",
-                    choices=["mxint8", "mxint8-staged"],
-                    help="fused-side KV cache flavor")
+                    choices=["mxint8", "mxint8-staged", "mxint4",
+                             "mxint4-staged"],
+                    help="fused-side KV cache flavor (mxint4* needs "
+                    "--kv4 attention configs)")
+    ap.add_argument("--kv4", action="store_true",
+                    help="width-4 K/V operand quantizers (pairs with the "
+                    "mxint4 cache's write grid)")
     args = ap.parse_args()
 
     import dataclasses
@@ -70,6 +75,15 @@ def main():
     cfg = dataclasses.replace(LlamaConfig.llama_7b(),
                               num_hidden_layers=args.layers)
     backend, params, qcfgs = build_7b_backend_and_params(cfg, RANK)
+    if args.kv4:
+        from lqer_tpu import models as _models
+        from experiments.bench_e2e_llama7b import Q_CONFIG, _q
+
+        q4 = dict(Q_CONFIG)
+        q4["matmul"] = {"name": "flexible",
+                        "x_quantizer": _q(8, [1, 16], True),
+                        "w_quantizer": _q(4, [1, 16], True)}
+        qcfgs = _models.quantize_model(cfg, q4, {"linear": {"rank": RANK}})
     if args.w8_head:
         from lqer_tpu.serving.pallas_backend import pack_lm_head
 
@@ -134,7 +148,7 @@ def main():
         cache = dec.make_cache(
             cfg, SLOTS, args.ctx,
             jnp.bfloat16 if args.dense else args.cache)
-        if args.cache == "mxint8-staged" and not args.dense:
+        if args.cache.endswith("-staged") and not args.dense:
             # start mid-stream: flushed at the 32-floor of the positions
             cache["flushed"] = (positions // 32) * 32
 

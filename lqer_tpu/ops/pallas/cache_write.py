@@ -220,20 +220,28 @@ from ...parallel.collectives import ceil_log2_exact as _ceil_log2_exact  # noqa:
 # decode-written cache bytes agree by construction (ADVICE r4)
 
 
-def _encode_t(vals_t, group):
-    """`mx8_encode(..., zero_fill=1.0)` on TRANSPOSED values (d, N): groups
-    of ``group`` along the sublane (d) axis. Returns (codes (d, N) f32-held,
-    exps (d/group, N) f32-held) — same bytes as the XLA encode once cast to
-    int8 (exp2/divide/round are IEEE-exact / identical lowerings)."""
+def _encode_t(vals_t, group, mb: float = 7.0, pack: bool = False):
+    """`mx8_encode(..., zero_fill=1.0)` (or `mx4_encode` with ``mb=3,
+    pack=True``) on TRANSPOSED values (d, N): groups of ``group`` along the
+    sublane (d) axis. Returns (codes f32-held — (d, N), or (d/2, N)
+    d-split nibble-packed when ``pack`` — and exps (d/group, N) f32-held):
+    same bytes as the XLA encode once cast to int8."""
     dd, n = vals_t.shape
     v = vals_t.astype(jnp.float32).reshape(dd // group, group, n)
     bmax = jnp.max(jnp.abs(v), axis=1, keepdims=True)
     bmax = jnp.where(bmax == 0, jnp.float32(1.0), bmax)
     e = _ceil_log2_exact(bmax).astype(jnp.float32)
     sign = jnp.sign(v + 1e-9)
+    shift = float(2 ** mb)
     mant = jnp.clip(
-        jnp.round((jnp.abs(v) + 1e-9) / jnp.exp2(e) * 128.0), 0, 127)
+        jnp.round((jnp.abs(v) + 1e-9) / jnp.exp2(e) * shift), 0, shift - 1)
     codes = (sign * mant).reshape(dd, n)
+    if pack:
+        ci = codes.astype(jnp.int32)
+        low = ci[:dd // 2] & 0xF
+        high = ci[dd // 2:] & 0xF
+        pu = (high << 4) | low
+        codes = jnp.where(pu >= 128, pu - 256, pu).astype(jnp.float32)
     return codes, e.reshape(dd // group, n)
 
 

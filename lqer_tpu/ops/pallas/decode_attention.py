@@ -248,7 +248,8 @@ def _kvh_chunk_fits(L: int, d: int, group: int = 16) -> bool:
 
 
 def _kvh_chunk(KVH: int, L: int, d: int, bytes_per_val: float,
-               budget: int = 12 * 1024 * 1024) -> int:
+               budget: int = 12 * 1024 * 1024,
+               extra_per_head: int = 0) -> int:
     """Largest divisor of KVH whose double-buffered K+V head-chunk block
     fits the VMEM budget — each grid program keeps ``chunk`` heads' whole-L
     K and V resident, so long contexts (e.g. 32 kv-heads x 2048 x 128) must
@@ -259,6 +260,7 @@ def _kvh_chunk(KVH: int, L: int, d: int, bytes_per_val: float,
     for the 4-head chunk (fewer programs, larger DMA bursts; pure-fetch
     floor 0.337), round-4 bench_attention_probe."""
     per_head = 2 * L * d * bytes_per_val * 2  # K+V, double-buffered
+    per_head += extra_per_head
     chunk = KVH
     while chunk > 1 and chunk * per_head > budget:
         c = chunk - 1
@@ -266,6 +268,23 @@ def _kvh_chunk(KVH: int, L: int, d: int, bytes_per_val: float,
             c -= 1
         chunk = c
     return chunk
+
+
+def _decode_cache_block(c, e, d, group, width_n, cache_mb, dot_dtype):
+    """codes (rows, N) + exps (d/g, N) → decoded (d, N). rows == d selects
+    the direct int8 MXINT8 layout; rows == d/2 the nibble-packed MXINT4
+    layout (d-split: low nibbles = rows [0, d/2), high = [d/2, d) — unpack
+    is two shifts + a sublane concat, `collectives.mx4_encode`)."""
+    if c.shape[0] == d:
+        cf = c.astype(jnp.float32)
+    else:
+        ci = c.astype(jnp.int32)
+        low = (ci << 28) >> 28
+        high = (ci << 24) >> 28
+        cf = jnp.concatenate([low, high], axis=0).astype(jnp.float32)
+    scale = jnp.exp2(e.astype(jnp.float32) - cache_mb)
+    return (cf.reshape(d // group, group, width_n) * scale[:, None, :]
+            ).reshape(d, width_n).astype(dot_dtype)
 
 
 def _kernel_quantized(*refs, scaling, scale_query, window, group, q_mb,
@@ -319,17 +338,14 @@ def _kernel_quantized_body(pos_ref, q_ref, kc_ref, ke_ref, vc_ref, ve_ref,
         ok = jnp.logical_and(ok, kv_idx > pos - window)
 
     def decode_t(c_ref, e_ref, kv):
-        """codes (d, L) + exps (d/g, L) → decoded (d, L) f32: the d-groups
+        """codes (d[,/2], L) + exps (d/g, L) → decoded (d, L): the d-groups
         lie on sublanes in the stored layout, so the whole decode is one
-        sublane-split reshape + broadcast multiply (no transposes). f32
-        multiply then bf16 cast matches `collectives.mx8_decode` bit-for-bit
-        (including the extreme-denormal corner a bf16-domain multiply would
-        flush differently)."""
-        c = c_ref[0, kv].astype(jnp.float32)         # (d, L)
-        e = e_ref[0, kv].astype(jnp.float32)         # (d/g, L)
-        scale = jnp.exp2(e - cache_mb)
-        return (c.reshape(d // group, group, L) * scale[:, None, :]
-                ).reshape(d, L).astype(dot_dtype)
+        sublane-split reshape + broadcast multiply (no transposes; the
+        MXINT4 layout adds two nibble shifts + a sublane concat). f32
+        multiply then bf16 cast matches `collectives.mx8_decode`/
+        `mx4_decode` bit-for-bit."""
+        return _decode_cache_block(c_ref[0, kv], e_ref[0, kv], d, group, L,
+                                   cache_mb, dot_dtype)
 
     # ---- phase 1: all heads' scores ----------------------------------
     # Per-head MXU matvecs, but softmax/probs-quantize batched over the
@@ -420,7 +436,9 @@ def decode_attention_quantized(
     assert k_codes.ndim == (5 if indexed else 4), (
         "layer_index requires layer-stacked cache operands", k_codes.shape)
     KVH, L = k_codes.shape[-3], k_codes.shape[-1]
-    assert k_codes.shape[-2] == d, ("codes must be (…, d, L)", k_codes.shape)
+    assert k_codes.shape[-2] in (d, d // 2), (
+        "codes must be (…, d[,/2], L)", k_codes.shape)
+    w4 = k_codes.shape[-2] == d // 2     # nibble-packed MXINT4 cache
     n_rep = H // KVH
     # exps: (..., d/group, L) — same minor axis as the transposed codes
     cache_group = d // k_exps.shape[-2]
@@ -430,13 +448,14 @@ def decode_attention_quantized(
 
     kernel = functools.partial(
         _kernel_quantized, scaling=scaling, scale_query=scale_query,
-        window=window, group=group, n_rep=n_rep, cache_mb=7.0,
+        window=window, group=group, n_rep=n_rep,
+        cache_mb=3.0 if w4 else 7.0,
         q_mb=None if q_width is None else q_width - 1,
         p_mb=None if p_width is None else p_width - 1,
         dot_dtype=jnp.float32 if interpret else jnp.bfloat16,
         drop_scalar=indexed,
     )
-    kc = _kvh_chunk(KVH, L, d, 1 + 1 / group)
+    kc = _kvh_chunk(KVH, L, d, (0.5 if w4 else 1) + 1 / group)
     G, Hq = KVH // kc, kc * n_rep
 
     def im(f):
@@ -448,7 +467,8 @@ def decode_attention_quantized(
     def wshape(shape):
         return (None, *shape) if indexed else shape
 
-    spec_c = pl.BlockSpec(wshape((1, kc, d, L)),
+    cr = k_codes.shape[-2]
+    spec_c = pl.BlockSpec(wshape((1, kc, cr, L)),
                           im_w(lambda b, g: (b, g, 0, 0)),
                           memory_space=pltpu.VMEM)
     spec_e = pl.BlockSpec(wshape((1, kc, d // group, L)),
@@ -494,13 +514,14 @@ def decode_attention_quantized(
     )(*args)
 
 
-def supports_decode_attention(attn_cfg) -> bool:
+def supports_decode_attention(attn_cfg, cache_width: int = 8) -> bool:
     """Kernel-eligibility: both attention matmuls use the canonical MXINT
     activation format ([1,16] groups, block_fp, width <= 9 so values are
-    exact in bf16) on both operands. The K/V-side widths must be exactly 8:
-    under quantize-once-at-write semantics the MXINT8 cache format stands in
-    for the use-time operand quantizer, so a config asking for a different
-    K/V width cannot ride the quantized-cache kernel."""
+    exact in bf16) on both operands. The K/V-side widths must equal the
+    CACHE's code width (8 for mxint8, 4 for the round-5 mxint4 cache):
+    under quantize-once-at-write semantics the cache format stands in for
+    the use-time operand quantizer, so a config asking for a different K/V
+    width cannot ride the quantized-cache kernel."""
 
     def mx(c, width_ok=lambda w: w <= 9):
         return bool(
@@ -520,7 +541,8 @@ def supports_decode_attention(attn_cfg) -> bool:
     px = pv.get("x_quantizer") or pv.get("default")
     vx = pv.get("w_quantizer") or pv.get("default")
     return (mx(qx) and mx(px)
-            and mx(kx, lambda w: w == 8) and mx(vx, lambda w: w == 8))
+            and mx(kx, lambda w: w == cache_width)
+            and mx(vx, lambda w: w == cache_width))
 
 
 def decode_attention_widths(attn_cfg) -> dict:
@@ -589,10 +611,11 @@ def _kernel_quantized_staged(idx_ref, pos_ref, fl_ref, q_ref, kc_ref, ke_ref,
 
     # ---- encode fresh rows + blend into the staging ring ----------------
     r = pos % SW
+    pack = ksc_ref.shape[2] != d                    # MXINT4 nibble layout
     kvals = kh_ref[0, :, 0, :].astype(jnp.float32)  # (kc, d)
     vvals = vh_ref[0, :, 0, :].astype(jnp.float32)
-    kcod, kexp = _encode_t(kvals.T, group)          # (d, kc), (d/g, kc)
-    vcod, vexp = _encode_t(vvals.T, group)
+    kcod, kexp = _encode_t(kvals.T, group, mb=cache_mb, pack=pack)
+    vcod, vexp = _encode_t(vvals.T, group, mb=cache_mb, pack=pack)
 
     upd = {}
     for name, in_ref, out_ref, new_t in (
@@ -613,18 +636,12 @@ def _kernel_quantized_staged(idx_ref, pos_ref, fl_ref, q_ref, kc_ref, ke_ref,
     ok_st = t_lane >= fl                             # staging: [flushed, pos]
 
     def decode_t(c_ref, e_ref, kv):
-        c = c_ref[0, kv].astype(jnp.float32)         # (d, L)
-        e = e_ref[0, kv].astype(jnp.float32)
-        scale = jnp.exp2(e - cache_mb)
-        return (c.reshape(d // group, group, L) * scale[:, None, :]
-                ).reshape(d, L).astype(dot_dtype)
+        return _decode_cache_block(c_ref[0, kv], e_ref[0, kv], d, group, L,
+                                   cache_mb, dot_dtype)
 
     def decode_stage(name_c, name_e, kv):
-        c = upd[name_c][kv]                          # (d, SW) f32 codes
-        e = upd[name_e][kv]                          # (d/g, SW)
-        scale = jnp.exp2(e - cache_mb)
-        return (c.reshape(d // group, group, SW) * scale[:, None, :]
-                ).reshape(d, SW).astype(dot_dtype)
+        return _decode_cache_block(upd[name_c][kv], upd[name_e][kv], d,
+                                   group, SW, cache_mb, dot_dtype)
 
     # ---- phase 1: scores over main + staging -----------------------------
     rows_m, rows_s = [], []
@@ -711,27 +728,35 @@ def decode_attention_quantized_staged(
     assert k_codes.ndim == 5, ("layer-stacked cache required", k_codes.shape)
     KVH, L = k_codes.shape[-3], k_codes.shape[-1]
     SW = ks_codes.shape[-1]
+    cr = k_codes.shape[-2]               # d (MXINT8) or d/2 (MXINT4 packed)
+    assert cr in (d, d // 2), k_codes.shape
+    w4 = cr == d // 2
     n_rep = H // KVH
     assert d // k_exps.shape[-2] == group
     assert L % 128 == 0 and SW % group == 0, (L, SW, group)
-    kc = _kvh_chunk(KVH, L, d, 1 + 1 / group)
+    # per-head staging (4 arrays, in + aliased out, K+V) rides the same
+    # VMEM as the main blocks — without accounting it a whole-KVH chunk at
+    # L=512 overflowed the 16 MB scoped limit by 16 KB (round 5)
+    stage_overhead = 4 * (cr + d // group) * SW * 2
+    kc = _kvh_chunk(KVH, L, d, (0.5 if w4 else 1) + 1 / group,
+                    budget=10 * 1024 * 1024, extra_per_head=stage_overhead)
     G, Hq = KVH // kc, kc * n_rep
 
     kernel = functools.partial(
         _kernel_quantized_staged, scaling=scaling, scale_query=scale_query,
-        group=group, n_rep=n_rep, cache_mb=7.0,
+        group=group, n_rep=n_rep, cache_mb=3.0 if w4 else 7.0,
         q_mb=None if q_width is None else q_width - 1,
         p_mb=None if p_width is None else p_width - 1,
         dot_dtype=jnp.float32 if interpret else jnp.bfloat16,
     )
 
-    spec_c = pl.BlockSpec((None, 1, kc, d, L),
+    spec_c = pl.BlockSpec((None, 1, kc, cr, L),
                           lambda b, g, idx: (idx[0], b, g, 0, 0),
                           memory_space=pltpu.VMEM)
     spec_e = pl.BlockSpec((None, 1, kc, d // group, L),
                           lambda b, g, idx: (idx[0], b, g, 0, 0),
                           memory_space=pltpu.VMEM)
-    spec_sc = pl.BlockSpec((None, 1, kc, d, SW),
+    spec_sc = pl.BlockSpec((None, 1, kc, cr, SW),
                            lambda b, g, idx: (idx[0], b, g, 0, 0),
                            memory_space=pltpu.VMEM)
     spec_se = pl.BlockSpec((None, 1, kc, d // group, SW),
@@ -819,11 +844,8 @@ def _stats_kernel(*refs, scaling, scale_query, window, group, q_mb, n_rep,
         ok = jnp.logical_and(ok, kv_idx > pos - window)
 
     def decode_t(c_ref, e_ref, kv):
-        c = c_ref[0, kv].astype(jnp.float32)         # (d, Lc)
-        e = e_ref[0, kv].astype(jnp.float32)         # (d/g, Lc)
-        scale = jnp.exp2(e - cache_mb)
-        return (c.reshape(d // group, group, l_chunk) * scale[:, None, :]
-                ).reshape(d, l_chunk).astype(dot_dtype)
+        return _decode_cache_block(c_ref[0, kv], e_ref[0, kv], d, group,
+                                   l_chunk, cache_mb, dot_dtype)
 
     rows = []
     for kv in range(kvh):
@@ -889,11 +911,8 @@ def _out_kernel(*refs, scaling, scale_query, window, group, q_mb, p_mb,
         ok = jnp.logical_and(ok, kv_idx > pos - window)
 
     def decode_t(c_ref, e_ref, kv):
-        c = c_ref[0, kv].astype(jnp.float32)
-        e = e_ref[0, kv].astype(jnp.float32)
-        scale = jnp.exp2(e - cache_mb)
-        return (c.reshape(d // group, group, l_chunk) * scale[:, None, :]
-                ).reshape(d, l_chunk).astype(dot_dtype)
+        return _decode_cache_block(c_ref[0, kv], e_ref[0, kv], d, group,
+                                   l_chunk, cache_mb, dot_dtype)
 
     m = st_ref[0:1, :].T if st_ref.ndim == 2 else st_ref[0, 0:1, :].T
     denom = st_ref[1:2, :].T if st_ref.ndim == 2 else st_ref[0, 1:2, :].T
@@ -998,14 +1017,16 @@ def decode_attention_quantized_streaming(
     indexed = layer_index is not None
     assert k_codes.ndim == (5 if indexed else 4), k_codes.shape
     KVH, L = k_codes.shape[-3], k_codes.shape[-1]
-    assert k_codes.shape[-2] == d, k_codes.shape
+    cr = k_codes.shape[-2]
+    assert cr in (d, d // 2), k_codes.shape
+    w4 = cr == d // 2
     n_rep = H // KVH
     assert d // k_exps.shape[-2] == group
     assert L % l_chunk == 0 and l_chunk % group == 0, (L, l_chunk, group)
     n_lc = L // l_chunk
 
     # head chunk: whole-L residency replaced by l_chunk residency
-    kc = _kvh_chunk(KVH, l_chunk, d, 1 + 1 / group)
+    kc = _kvh_chunk(KVH, l_chunk, d, (0.5 if w4 else 1) + 1 / group)
     G, Hq = KVH // kc, kc * n_rep
     q_mb = None if q_width is None else q_width - 1
     p_mb = None if p_width is None else p_width - 1
@@ -1020,7 +1041,7 @@ def decode_attention_quantized_streaming(
     def wshape(shape):
         return (None, *shape) if indexed else shape
 
-    spec_c = pl.BlockSpec(wshape((1, kc, d, l_chunk)),
+    spec_c = pl.BlockSpec(wshape((1, kc, cr, l_chunk)),
                           im_w(lambda b, g, lc: (b, g, 0, lc)),
                           memory_space=pltpu.VMEM)
     spec_e = pl.BlockSpec(wshape((1, kc, d // group, l_chunk)),
@@ -1044,7 +1065,8 @@ def decode_attention_quantized_streaming(
     dot_dtype = jnp.float32 if interpret else jnp.bfloat16
     kern1 = functools.partial(
         _stats_kernel, scaling=scaling, scale_query=scale_query,
-        window=window, group=group, q_mb=q_mb, n_rep=n_rep, cache_mb=7.0,
+        window=window, group=group, q_mb=q_mb, n_rep=n_rep,
+        cache_mb=3.0 if w4 else 7.0,
         l_chunk=l_chunk, dot_dtype=dot_dtype, drop_scalar=indexed)
     grid_spec1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1 if indexed else 0,
@@ -1064,7 +1086,7 @@ def decode_attention_quantized_streaming(
     kern2 = functools.partial(
         _out_kernel, scaling=scaling, scale_query=scale_query,
         window=window, group=group, q_mb=q_mb, p_mb=p_mb, n_rep=n_rep,
-        cache_mb=7.0, l_chunk=l_chunk, dot_dtype=dot_dtype,
+        cache_mb=3.0 if w4 else 7.0, l_chunk=l_chunk, dot_dtype=dot_dtype,
         drop_scalar=indexed)
     st_spec = pl.BlockSpec((None, None, 2, Hq),
                            im(lambda b, g, lc: (b, g, 0, 0)),
@@ -1097,11 +1119,8 @@ def decode_attention_quantized_streaming(
 # ---------------------------------------------------------------------------
 def _stage_decode(upd, name_c, name_e, kv, d, group, SW, cache_mb,
                   dot_dtype):
-    c = upd[name_c][kv]
-    e = upd[name_e][kv]
-    scale = jnp.exp2(e - cache_mb)
-    return (c.reshape(d // group, group, SW) * scale[:, None, :]
-            ).reshape(d, SW).astype(dot_dtype)
+    return _decode_cache_block(upd[name_c][kv], upd[name_e][kv], d, group,
+                               SW, cache_mb, dot_dtype)
 
 
 def _stage_blend(pos, refs_in, refs_out, kcod, kexp, vcod, vexp, SW):
@@ -1151,10 +1170,11 @@ def _stats_kernel_staged(idx_ref, pos_ref, fl_ref, q_ref, kc_ref, ke_ref,
     if q_mb is not None:
         qs = _quantize_sublane_groups_signed(qs.T, q_mb, group).T
 
+    pack = ksc_ref.shape[2] != d                    # MXINT4 nibble layout
     kvals = kh_ref[0, :, 0, :].astype(jnp.float32)
     vvals = vh_ref[0, :, 0, :].astype(jnp.float32)
-    kcod, kexp = _encode_t(kvals.T, group)
-    vcod, vexp = _encode_t(vvals.T, group)
+    kcod, kexp = _encode_t(kvals.T, group, mb=cache_mb, pack=pack)
+    vcod, vexp = _encode_t(vvals.T, group, mb=cache_mb, pack=pack)
     upd = _stage_blend(pos, (ksc_ref, kse_ref, vsc_ref, vse_ref),
                        (ksc_o, kse_o, vsc_o, vse_o),
                        kcod, kexp, vcod, vexp, SW)
@@ -1164,11 +1184,8 @@ def _stats_kernel_staged(idx_ref, pos_ref, fl_ref, q_ref, kc_ref, ke_ref,
     ok = kv_idx < fl                                 # main: [0, flushed)
 
     def decode_t(c_ref, e_ref, kv):
-        c = c_ref[0, kv].astype(jnp.float32)
-        e = e_ref[0, kv].astype(jnp.float32)
-        scale = jnp.exp2(e - cache_mb)
-        return (c.reshape(d // group, group, l_chunk) * scale[:, None, :]
-                ).reshape(d, l_chunk).astype(dot_dtype)
+        return _decode_cache_block(c_ref[0, kv], e_ref[0, kv], d, group,
+                                   l_chunk, cache_mb, dot_dtype)
 
     rows = []
     for kv in range(kvh):
@@ -1256,11 +1273,8 @@ def _out_kernel_staged(idx_ref, pos_ref, fl_ref, q_ref, kc_ref, ke_ref,
     ok = kv_idx < fl
 
     def decode_t(c_ref, e_ref, kv):
-        c = c_ref[0, kv].astype(jnp.float32)
-        e = e_ref[0, kv].astype(jnp.float32)
-        scale = jnp.exp2(e - cache_mb)
-        return (c.reshape(d // group, group, l_chunk) * scale[:, None, :]
-                ).reshape(d, l_chunk).astype(dot_dtype)
+        return _decode_cache_block(c_ref[0, kv], e_ref[0, kv], d, group,
+                                   l_chunk, cache_mb, dot_dtype)
 
     m = (st_ref[0:1, :] if st_ref.ndim == 2 else st_ref[0, 0:1, :]).T
     denom = (st_ref[1:2, :] if st_ref.ndim == 2 else st_ref[0, 1:2, :]).T
@@ -1374,12 +1388,17 @@ def decode_attention_quantized_streaming_staged(
     assert k_codes.ndim == 5, ("layer-stacked cache required", k_codes.shape)
     KVH, L = k_codes.shape[-3], k_codes.shape[-1]
     SW = ks_codes.shape[-1]
+    cr = k_codes.shape[-2]
+    assert cr in (d, d // 2), k_codes.shape
+    w4 = cr == d // 2
     n_rep = H // KVH
     assert d // k_exps.shape[-2] == group
     assert L % l_chunk == 0 and l_chunk % group == 0, (L, l_chunk, group)
     assert SW % group == 0, SW
     n_lc = L // l_chunk
-    kc = _kvh_chunk(KVH, l_chunk, d, 1 + 1 / group)
+    stage_overhead = 4 * (cr + d // group) * SW * 2
+    kc = _kvh_chunk(KVH, l_chunk, d, (0.5 if w4 else 1) + 1 / group,
+                    budget=10 * 1024 * 1024, extra_per_head=stage_overhead)
     G, Hq = KVH // kc, kc * n_rep
     q_mb = None if q_width is None else q_width - 1
     p_mb = None if p_width is None else p_width - 1
@@ -1391,13 +1410,13 @@ def decode_attention_quantized_streaming_staged(
     def i0(f):
         return lambda b, g, lc, idx: f(b, g, lc)
 
-    spec_c = pl.BlockSpec((None, 1, kc, d, l_chunk),
+    spec_c = pl.BlockSpec((None, 1, kc, cr, l_chunk),
                           iw(lambda b, g, lc: (b, g, 0, lc)),
                           memory_space=pltpu.VMEM)
     spec_e = pl.BlockSpec((None, 1, kc, d // group, l_chunk),
                           iw(lambda b, g, lc: (b, g, 0, lc)),
                           memory_space=pltpu.VMEM)
-    spec_sc = pl.BlockSpec((None, 1, kc, d, SW),
+    spec_sc = pl.BlockSpec((None, 1, kc, cr, SW),
                            iw(lambda b, g, lc: (b, g, 0, 0)),
                            memory_space=pltpu.VMEM)
     spec_se = pl.BlockSpec((None, 1, kc, d // group, SW),
@@ -1420,7 +1439,7 @@ def decode_attention_quantized_streaming_staged(
     # ---- pass 1: stats + staging write ----
     kern1 = functools.partial(
         _stats_kernel_staged, scaling=scaling, scale_query=scale_query,
-        group=group, q_mb=q_mb, n_rep=n_rep, cache_mb=7.0,
+        group=group, q_mb=q_mb, n_rep=n_rep, cache_mb=3.0 if w4 else 7.0,
         l_chunk=l_chunk, dot_dtype=dot_dtype)
     grid_spec1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1451,8 +1470,8 @@ def decode_attention_quantized_streaming_staged(
     # ---- pass 2: output over main + ring (ring now holds the fresh token)
     kern2 = functools.partial(
         _out_kernel_staged, scaling=scaling, scale_query=scale_query,
-        group=group, q_mb=q_mb, p_mb=p_mb, n_rep=n_rep, cache_mb=7.0,
-        l_chunk=l_chunk, dot_dtype=dot_dtype)
+        group=group, q_mb=q_mb, p_mb=p_mb, n_rep=n_rep,
+        cache_mb=3.0 if w4 else 7.0, l_chunk=l_chunk, dot_dtype=dot_dtype)
     out_spec = pl.BlockSpec((1, Hq, 1, d),
                             i0(lambda b, g, lc: (b, g, 0, 0)),
                             memory_space=pltpu.VMEM)

@@ -74,6 +74,56 @@ def mx8_encode(x: jnp.ndarray, group: int = 16, zero_fill: float | None = None):
     return codes, exps
 
 
+def mx4_encode(x: jnp.ndarray, group: int = 16,
+               zero_fill: float | None = None):
+    """(…, F) float → (codes int8 (…, F/2) nibble-packed, exps int8
+    (…, F/group)) — the MXINT4 KV-cache codec (round 5, opt-in KV4).
+
+    Same shared-exponent math as :func:`mx8_encode` at width 4 (3 mantissa
+    bits). Packing convention (matches the Pallas kernels' sublane-concat
+    unpack): packed element ``i`` holds value ``i`` in the low nibble and
+    value ``i + F/2`` in the high nibble — the F-split layout, so unpack is
+    two shifts + a concat, no interleave."""
+    *lead, f = x.shape
+    assert f % (2 * group) == 0, (f, group)
+    xf = x.astype(jnp.float32).reshape(*lead, f // group, group)
+    bmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    if zero_fill is None:
+        nz_min = jnp.min(jnp.where(bmax != 0, bmax, jnp.inf))
+        fill = jnp.where(jnp.isinf(nz_min), jnp.float32(1.0), nz_min)
+    else:
+        fill = jnp.float32(zero_fill)
+    bmax = jnp.where(bmax == 0, fill, bmax)
+    e = ceil_log2_exact(bmax).astype(jnp.float32)
+    sign = jnp.sign(xf + 1e-9)
+    mant = jnp.clip(
+        jnp.round((jnp.abs(xf) + 1e-9) / jnp.exp2(e) * 8.0), 0, 7
+    )
+    codes = (sign * mant).astype(jnp.int32).reshape(*lead, f)
+    half = f // 2
+    low = codes[..., :half] & 0xF
+    high = codes[..., half:] & 0xF
+    packed_u = (high << 4) | low
+    packed = jnp.where(packed_u >= 128, packed_u - 256, packed_u)
+    exps = e.astype(jnp.int8).reshape(*lead, f // group)
+    return packed.astype(jnp.int8), exps
+
+
+def mx4_decode(codes: jnp.ndarray, exps: jnp.ndarray, group: int = 16,
+               dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of :func:`mx4_encode`: (…, F/2) packed + (…, F/group) exps →
+    (…, F) values (scale = 2^(e − 3))."""
+    *lead, half = codes.shape
+    f = half * 2
+    c = codes.astype(jnp.int32)
+    low = (c << 28) >> 28
+    high = (c << 24) >> 28
+    vals = jnp.concatenate([low, high], axis=-1).astype(jnp.float32)
+    scale = jnp.exp2(exps.astype(jnp.float32) - 3.0)
+    v = vals.reshape(*lead, f // group, group) * scale[..., None]
+    return v.reshape(*lead, f).astype(dtype)
+
+
 def mx8_decode(codes: jnp.ndarray, exps: jnp.ndarray, group: int = 16,
                dtype=jnp.float32) -> jnp.ndarray:
     *lead, f = codes.shape

@@ -18,6 +18,7 @@ from ..models import opt as opt_mod
 from ..models.common import layer_norm, merge_heads, repeat_kv, rms_norm
 from ..models.fp_config import FP_LAYER_LLAMA, FP_LAYER_OPT
 from .kv_cache import (
+    cache_code_width,
     init_kv_cache,
     init_quantized_kv_cache,
     is_quantized_cache,
@@ -85,6 +86,19 @@ def _mlp_fused_or_none(x, layer_prefix, qc_first, qc_down, backend,
         return serving_mlp(x, key, backend, qc_first, qc_down,
                            interpret=interpret)
     return None
+
+
+def _last_valid_h(h, valid_lengths, s, logits_last_only):
+    """(b, s, e) → (b, 1, e) at the last valid position per slot (admission
+    only needs one next-token distribution; the full-sequence lm_head costs
+    GBs of f32 logits at 7B admission scale)."""
+    if not logits_last_only or s == 1:
+        return h
+    if valid_lengths is None:
+        return h[:, -1:, :]
+    b, _, e = h.shape
+    idx = jnp.clip(valid_lengths - 1, 0, s - 1)[:, None, None]
+    return jnp.take_along_axis(h, jnp.broadcast_to(idx, (b, 1, e)), axis=1)
 
 
 def _lm_head_logits(h, lm_head, backend, interpret=None):
@@ -163,11 +177,12 @@ def _kv_skip_matmuls(attn_cfg):
 _KV_MISMATCH_WARNED = set()
 
 
-def _kv_config_is_cache_format(attn_cfg) -> bool:
+def _kv_config_is_cache_format(attn_cfg, width: int = 8) -> bool:
     """True when the configured K/V-side operand quantizers coincide with
-    the MXINT8 cache's write format ([1,16]-group block_fp, width 8) — only
-    then is the quantize-once-at-write skip semantics-preserving. Any other
-    K/V config over an mxint8 cache keeps its configured use-time
+    the quantized cache's write format ([1,16]-group block_fp at the
+    cache's code width — 8 for mxint8, 4 for the round-5 mxint4 cache) —
+    only then is the quantize-once-at-write skip semantics-preserving. Any
+    other K/V config over a quantized cache keeps its configured use-time
     quantizers (applied on the cache-decoded values: write-grid then
     configured grid, the same double-quantization a narrower storage format
     implies), so reported accuracy always reflects the config."""
@@ -180,7 +195,7 @@ def _kv_config_is_cache_format(attn_cfg) -> bool:
         return qk is None and pv is None
     kx = qk.get("w_quantizer") or qk.get("default")
     vx = pv.get("w_quantizer") or pv.get("default")
-    ok = all(_std_a8(c) and c.get("width") == 8 for c in (kx, vx))
+    ok = all(_std_a8(c) and c.get("width") == width for c in (kx, vx))
     if not ok:
         key = (str(kx), str(vx))
         if key not in _KV_MISMATCH_WARNED:
@@ -195,7 +210,7 @@ def _kv_config_is_cache_format(attn_cfg) -> bool:
 
 
 def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
-            kv_pre_quantized=False):
+            kv_pre_quantized=False, cache_width=8):
     """Cache attention with quantized matmuls on 3-D (b·h, ...) operands,
     matching the reference's reshape-before-quantize layout
     (`llama_decoder.py:261-263`) so shared-exponent blocks never span heads.
@@ -213,7 +228,8 @@ def _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
     cache's operand format (quantized once at write), so the K/V-side
     operand quantizers are skipped (see `kv_cache.init_quantized_kv_cache`).
     """
-    if kv_pre_quantized and _kv_config_is_cache_format(attn_cfg):
+    if kv_pre_quantized and _kv_config_is_cache_format(attn_cfg,
+                                                       cache_width):
         qk_matmul, pv_matmul = _kv_skip_matmuls(attn_cfg)
     else:
         qk_matmul, pv_matmul = attn_cfg.qk_matmul, attn_cfg.pv_matmul
@@ -277,13 +293,15 @@ def _use_attn_kernel(backend, s, attn_cfg, max_len, head_dim,
         return False
     from ..ops.pallas.decode_attention import supports_decode_attention
 
-    return supports_decode_attention(attn_cfg)
+    cw = cache_code_width(cache) if (cache is not None
+                                     and is_quantized_cache(cache)) else 8
+    return supports_decode_attention(attn_cfg, cache_width=cw)
 
 
 def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
                  positions, window, use_kernel, interpret=None,
                  quant_slices=None, layer_index=None,
-                 kv_pre_quantized=False, fp_stacked=None):
+                 kv_pre_quantized=False, fp_stacked=None, cache_width=8):
     """Decode attention: fused Pallas kernel (per-head cache-resident,
     q/probs quantization in-kernel) when eligible, else the eager path.
 
@@ -350,7 +368,8 @@ def _attend_auto(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
             **decode_attention_widths(attn_cfg),
         )
     return _attend(qh, k_l, v_l, mask, attn_cfg, scaling, n_rep, scale_query,
-                   kv_pre_quantized=kv_pre_quantized)
+                   kv_pre_quantized=kv_pre_quantized,
+                   cache_width=cache_width)
 
 
 def _fresh_prefill_attend(qh, kh, vh, attn_cfg, scaling, n_rep, scale_query,
@@ -381,17 +400,22 @@ def _fresh_prefill_attend(qh, kh, vh, attn_cfg, scaling, n_rep, scale_query,
         return None
     quantized = is_quantized_cache(cache)
     if quantized:
-        if not _kv_config_is_cache_format(attn_cfg):
+        cw = cache_code_width(cache)
+        if not _kv_config_is_cache_format(attn_cfg, cw):
             return None  # eager fallback applies the configured quantizers
-        from ..parallel.collectives import mx8_decode, mx8_encode
+        from ..parallel.collectives import (
+            mx4_decode, mx4_encode, mx8_decode, mx8_encode,
+        )
         from .kv_cache import cache_group
 
         g = cache_group(cache)
         if d % g:
             return None
+        enc = mx4_encode if cw == 4 else mx8_encode
+        dec = mx4_decode if cw == 4 else mx8_decode
         # the cache's write-time roundtrip IS the attention operand
-        kr = mx8_decode(*mx8_encode(kh, g, zero_fill=1.0), g, jnp.bfloat16)
-        vr = mx8_decode(*mx8_encode(vh, g, zero_fill=1.0), g, jnp.bfloat16)
+        kr = dec(*enc(kh, g, zero_fill=1.0), g, jnp.bfloat16)
+        vr = dec(*enc(vh, g, zero_fill=1.0), g, jnp.bfloat16)
     else:
         kr, vr = kh, vh
     return fused_quantized_attention(
@@ -408,6 +432,8 @@ def _fused_write_attend(cache, qh, kh, vh, positions, li, attn_cfg, scaling,
     write-then-attend (`decode_attention_quantized_write`)."""
     if not use_ak or "k_codes" not in cache or max_len % 128 != 0:
         return None
+    if cache_code_width(cache) != 8:
+        return None  # W4 caches route through the staged or two-launch path
     from ..ops.pallas.decode_attention import (
         _kvh_chunk_fits,
         decode_attention_quantized_write,
@@ -484,15 +510,20 @@ def _staged_eager_update(cache, li, kh, vh, positions, compute_dtype):
     lane j == token % SW). Semantically identical to the staged kernel; the
     kernel's HBM savings don't apply (this path exists for
     LQER_DISABLE_ATTN_KERNEL A/B and backend-less engines)."""
-    from ..parallel.collectives import mx8_decode, mx8_encode
+    from ..parallel.collectives import (
+        mx4_decode, mx4_encode, mx8_decode, mx8_encode,
+    )
     from .kv_cache import cache_group
 
     group = cache_group(cache)
+    cw = cache_code_width(cache)
+    enc = mx4_encode if cw == 4 else mx8_encode
+    mxdec = mx4_decode if cw == 4 else mx8_decode
     SW = cache["k_stage_codes"].shape[-1]
     L = cache["k_codes"].shape[-1]
     r = positions % SW
-    k_c, k_e = mx8_encode(kh, group, zero_fill=1.0)  # (B, KVH, 1, d[/g])
-    v_c, v_e = mx8_encode(vh, group, zero_fill=1.0)
+    k_c, k_e = enc(kh, group, zero_fill=1.0)  # (B, KVH, 1, d[/g][/2])
+    v_c, v_e = enc(vh, group, zero_fill=1.0)
     news = {"k_stage_codes": jnp.swapaxes(k_c, -1, -2),
             "k_stage_exps": jnp.swapaxes(k_e, -1, -2),
             "v_stage_codes": jnp.swapaxes(v_c, -1, -2),
@@ -507,12 +538,12 @@ def _staged_eager_update(cache, li, kh, vh, positions, compute_dtype):
         out[key] = cache[key].at[li].set(sl)
 
     def views(ck, ek):
-        dec = mx8_decode(jnp.swapaxes(out[ck[0]][li], -1, -2),
-                         jnp.swapaxes(out[ck[1]][li], -1, -2),
-                         group, compute_dtype)          # (B, KVH, L, d)
-        st = mx8_decode(jnp.swapaxes(out[ek[0]][li], -1, -2),
-                        jnp.swapaxes(out[ek[1]][li], -1, -2),
-                        group, compute_dtype)           # (B, KVH, SW, d)
+        dec = mxdec(jnp.swapaxes(out[ck[0]][li], -1, -2),
+                    jnp.swapaxes(out[ck[1]][li], -1, -2),
+                    group, compute_dtype)               # (B, KVH, L, d)
+        st = mxdec(jnp.swapaxes(out[ek[0]][li], -1, -2),
+                   jnp.swapaxes(out[ek[1]][li], -1, -2),
+                   group, compute_dtype)                # (B, KVH, SW, d)
         tiled = jnp.tile(st, (1, 1, L // SW, 1))
         col = jnp.arange(L)[None, :]
         valid = (col >= out["flushed"][:, None]) & \
@@ -570,9 +601,15 @@ def model_step(
     interpret: bool | None = None,
     valid_lengths: jnp.ndarray | None = None,
     fresh_prefill: bool = False,
+    logits_last_only: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """Run s tokens through the model updating the cache; returns
     (logits (b, s, vocab), cache). Works for prefill (s>1) and decode (s=1).
+
+    ``logits_last_only``: at prefill, compute the lm_head only for the last
+    valid position per slot (returns (b, 1, vocab)) — admission needs one
+    next-token distribution per sequence, and the full (b, s, vocab) f32
+    logits cost 2.1 GB + ~4 TFLOP at 7B × 8 × 2048 (the round-5 HBM OOM).
 
     ``backend``: packed Pallas serving params (see
     :mod:`lqer_tpu.serving.pallas_backend`); None = software emulation.
@@ -584,9 +621,11 @@ def model_step(
     """
     if cfg.arch == "opt":
         return _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
-                         backend, interpret, valid_lengths, fresh_prefill)
+                         backend, interpret, valid_lengths, fresh_prefill,
+                         logits_last_only)
     return _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
-                       backend, interpret, valid_lengths, fresh_prefill)
+                       backend, interpret, valid_lengths, fresh_prefill,
+                       logits_last_only)
 
 
 def _kv_valid_mask(valid_lengths, s):
@@ -597,7 +636,7 @@ def _kv_valid_mask(valid_lengths, s):
 
 def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
                 backend=None, interpret=None, valid_lengths=None,
-                fresh_prefill=False):
+                fresh_prefill=False, logits_last_only=False):
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
@@ -658,7 +697,8 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
                 attn = _attend_auto(
                     qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
                     n_rep, False, positions, window, False, interpret,
-                    kv_pre_quantized=True)
+                    kv_pre_quantized=True,
+                    cache_width=cache_code_width(cache))
         else:
             cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions,
                                             h.dtype)
@@ -667,7 +707,9 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
                 n_rep, False, positions, window, use_ak, interpret,
                 quant_slices=_quant_slices(cache, use_ak),
                 layer_index=jnp.asarray([i], jnp.int32),
-                kv_pre_quantized=is_quantized_cache(cache))
+                kv_pre_quantized=is_quantized_cache(cache),
+                cache_width=cache_code_width(cache)
+                if is_quantized_cache(cache) else 8)
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.o_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -690,6 +732,7 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         h = residual + y
 
     h = rms_norm(h, llama_mod._mod(params, "model.norm"), cfg.rms_norm_eps)
+    h = _last_valid_h(h, valid_lengths, s, logits_last_only)
     lm_head = params.get("lm_head.weight", embed)
     if s > 1 and is_staged_cache(cache):
         new_pos = positions + (valid_lengths if valid_lengths is not None
@@ -700,7 +743,7 @@ def _llama_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
 
 def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
               backend=None, interpret=None, valid_lengths=None,
-              fresh_prefill=False):
+              fresh_prefill=False, logits_last_only=False):
 
     b, s = input_ids.shape
     max_len = _cache_max_len(cache)
@@ -758,7 +801,8 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
                 attn = _attend_auto(
                     qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
                     1, True, positions, None, False, interpret,
-                    kv_pre_quantized=True)
+                    kv_pre_quantized=True,
+                    cache_width=cache_code_width(cache))
         else:
             cache, k_l, v_l = _cache_update(cache, i, kh, vh, positions,
                                             h.dtype)
@@ -767,7 +811,9 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
                 1, True, positions, None, use_ak, interpret,
                 quant_slices=_quant_slices(cache, use_ak),
                 layer_index=jnp.asarray([i], jnp.int32),
-                kv_pre_quantized=is_quantized_cache(cache))
+                kv_pre_quantized=is_quantized_cache(cache),
+                cache_width=cache_code_width(cache)
+                if is_quantized_cache(cache) else 8)
         attn = _lin(merge_heads(attn), params, f"{p}.self_attn.out_proj",
                     attn_cfg.o_proj, backend, interpret)
         h = residual + attn
@@ -790,6 +836,7 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
         h = layer_norm(h, opt_mod._mod(params, "model.decoder.final_layer_norm"))
     if params.get("model.decoder.project_out.weight") is not None:
         h = jnp.matmul(h, params["model.decoder.project_out.weight"].T)
+    h = _last_valid_h(h, valid_lengths, s, logits_last_only)
     lm_head = params.get("lm_head.weight", embed)
     if s > 1 and is_staged_cache(cache):
         new_pos = positions + (valid_lengths if valid_lengths is not None
@@ -801,8 +848,20 @@ def _opt_step(params, input_ids, cache, positions, cfg, layer_qcfgs,
 def make_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
     """``dtype="mxint8"`` selects the quantized cache (8.5 bits/value);
     ``"mxint8-staged"`` additionally ring-stages decode writes (round 5 —
-    requires max_len % 128 == 0 and no sliding window)."""
+    requires max_len % 128 == 0 and no sliding window); ``"mxint4"`` /
+    ``"mxint4-staged"`` select the 4.5-bit cache (half the attention
+    stream; K/V operand quantizers must be width 4 — quality study in
+    experiments/kv_cache_quality.py)."""
     kv_heads = cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.num_attention_heads
+    if dtype in ("mxint4", "mxint4-staged"):
+        assert cfg.head_dim % 32 == 0, cfg.head_dim
+        staged4 = dtype.endswith("-staged") and \
+            getattr(cfg, "sliding_window", None) is None and \
+            max_len % 128 == 0
+        return init_quantized_kv_cache(
+            cfg.num_hidden_layers, batch, kv_heads, cfg.head_dim, max_len,
+            staged=staged4, code_width=4,
+        )
     if dtype == "mxint8-staged":
         eligible = (getattr(cfg, "sliding_window", None) is None
                     and max_len % 128 == 0)
@@ -956,7 +1015,8 @@ def _cache_write_full(cache, li, kh, vh, positions):
         from .kv_cache import cache_group
 
         group = cache_group(cache)
-        if s == 1 and cache["k_codes"].shape[-1] % 128 == 0:
+        cw = cache_code_width(cache)
+        if s == 1 and cw == 8 and cache["k_codes"].shape[-1] % 128 == 0:
             # fused encode+write: ONE aliased Pallas call quantizes the new
             # rows in-kernel and blends them into the aligned windows — the
             # XLA-side mx8_encode + (…, d, 1) swapaxes relayouts alone cost
@@ -971,10 +1031,11 @@ def _cache_write_full(cache, li, kh, vh, positions):
             out = dict(cache)
             out.update(dict(zip(keys, updated)))
             return out
-        from ..parallel.collectives import mx8_encode
+        from ..parallel.collectives import mx4_encode, mx8_encode
 
-        k_c, k_e = mx8_encode(kh, group, zero_fill=1.0)
-        v_c, v_e = mx8_encode(vh, group, zero_fill=1.0)
+        enc = mx4_encode if cw == 4 else mx8_encode
+        k_c, k_e = enc(kh, group, zero_fill=1.0)
+        v_c, v_e = enc(vh, group, zero_fill=1.0)
         # codes AND exps stored transposed: token axis last
         # (see init_quantized_kv_cache)
         news = {"k_codes": jnp.swapaxes(k_c, -1, -2),
@@ -1023,16 +1084,17 @@ def _cache_layer_views(cache, li):
     take = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
         a, li, 0, keepdims=False)
     if "k_codes" in cache:
-        from ..parallel.collectives import mx8_decode
+        from ..parallel.collectives import mx4_decode, mx8_decode
         from .kv_cache import cache_group
 
         group = cache_group(cache)
-        k_l = mx8_decode(jnp.swapaxes(take(cache["k_codes"]), -1, -2),
-                         jnp.swapaxes(take(cache["k_exps"]), -1, -2),
-                         group, jnp.bfloat16)
-        v_l = mx8_decode(jnp.swapaxes(take(cache["v_codes"]), -1, -2),
-                         jnp.swapaxes(take(cache["v_exps"]), -1, -2),
-                         group, jnp.bfloat16)
+        dec = mx4_decode if cache_code_width(cache) == 4 else mx8_decode
+        k_l = dec(jnp.swapaxes(take(cache["k_codes"]), -1, -2),
+                  jnp.swapaxes(take(cache["k_exps"]), -1, -2),
+                  group, jnp.bfloat16)
+        v_l = dec(jnp.swapaxes(take(cache["v_codes"]), -1, -2),
+                  jnp.swapaxes(take(cache["v_exps"]), -1, -2),
+                  group, jnp.bfloat16)
         return k_l, v_l
     return take(cache["k"]), take(cache["v"])
 
@@ -1093,6 +1155,7 @@ def llama_step_scan(
     backend_stacked: dict | None = None,
     valid_lengths: jnp.ndarray | None = None,
     fresh_prefill: bool = False,
+    logits_last_only: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """`model_step` for Llama with the layer loop as lax.scan: ONE trace of
     the decoder layer regardless of depth (the 4-layer engine warmup already
@@ -1184,7 +1247,8 @@ def llama_step_scan(
                     qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5,
                     n_rep, False, positions,
                     getattr(cfg, "sliding_window", None), False,
-                    kv_pre_quantized=True)
+                    kv_pre_quantized=True,
+                    cache_width=cache_code_width(cache))
             elif fused is not None:
                 attn, cache = fused
             else:
@@ -1201,6 +1265,8 @@ def llama_step_scan(
                     quant_slices=_quant_slices(cache, use_qk),
                     layer_index=li,
                     kv_pre_quantized="k_codes" in cache,
+                    cache_width=cache_code_width(cache)
+                    if "k_codes" in cache else 8,
                     fp_stacked=None if use_qk or not use_ak
                     else (cache["k"], cache["v"]))
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.o_proj",
@@ -1237,6 +1303,7 @@ def llama_step_scan(
 
     h = rms_norm(h, {"weight": rest["model.norm.weight"],
                      "bias": rest.get("model.norm.bias")}, cfg.rms_norm_eps)
+    h = _last_valid_h(h, valid_lengths, s, logits_last_only)
     lm_head = rest.get("lm_head.weight", embed)
     if s > 1 and is_staged_cache(cache):
         new_pos = positions + (valid_lengths if valid_lengths is not None
@@ -1257,6 +1324,7 @@ def opt_step_scan(
     backend_stacked: dict | None = None,
     valid_lengths: jnp.ndarray | None = None,
     fresh_prefill: bool = False,
+    logits_last_only: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """OPT analogue of :func:`llama_step_scan` (same xs→ys cache threading,
     fp or MXINT8-quantized; heterogeneous per-layer configs scan per config
@@ -1338,7 +1406,8 @@ def opt_step_scan(
                 attn = _attend_auto(
                     qh, k_l, v_l, mask, attn_cfg, cfg.head_dim**-0.5, 1,
                     True, positions, None, False,
-                    kv_pre_quantized=True)
+                    kv_pre_quantized=True,
+                    cache_width=cache_code_width(cache))
             elif fused is not None:
                 attn, cache = fused
             else:
@@ -1354,6 +1423,8 @@ def opt_step_scan(
                     quant_slices=_quant_slices(cache, use_qk),
                     layer_index=li,
                     kv_pre_quantized="k_codes" in cache,
+                    cache_width=cache_code_width(cache)
+                    if "k_codes" in cache else 8,
                     fp_stacked=None if use_qk or not use_ak
                     else (cache["k"], cache["v"]))
             attn = _lin_slice(merge_heads(attn), sl, "self_attn.out_proj",
@@ -1392,6 +1463,7 @@ def opt_step_scan(
         h = layer_norm(h, opt_mod._mod(rest, "model.decoder.final_layer_norm"))
     if rest.get("model.decoder.project_out.weight") is not None:
         h = jnp.matmul(h, rest["model.decoder.project_out.weight"].T)
+    h = _last_valid_h(h, valid_lengths, s, logits_last_only)
     lm_head = rest.get("lm_head.weight", embed)
     if s > 1 and is_staged_cache(cache):
         new_pos = positions + (valid_lengths if valid_lengths is not None

@@ -156,7 +156,8 @@ class DecodeEngine:
                     else {"arrays": arrs, "meta": self._bs_meta})
 
         def _step_math(params_or_stack, backend_arrays, cache, ids, positions,
-                       valid_lengths=None, fresh_prefill=False):
+                       valid_lengths=None, fresh_prefill=False,
+                       logits_last_only=False):
             if scan_layers:
                 stacked, rest = params_or_stack
                 from .decode import llama_step_scan, opt_step_scan
@@ -169,12 +170,14 @@ class DecodeEngine:
                     backend_stacked=_mk_bs(backend_arrays),
                     valid_lengths=valid_lengths,
                     fresh_prefill=fresh_prefill,
+                    logits_last_only=logits_last_only,
                 )
             return model_step(
                 params_or_stack, ids, cache, positions, cfg, layer_qcfgs,
                 backend=_mk_backend(backend_arrays),
                 valid_lengths=valid_lengths,
                 fresh_prefill=fresh_prefill,
+                logits_last_only=logits_last_only,
             )
 
         # cache donation: without it XLA materializes a full copy of the
@@ -249,6 +252,10 @@ class DecodeEngine:
                 # position 0 on a fresh-zeroed cache -> the prompt chunk
                 # can attend through the fused prefill kernel
                 fresh_prefill=True,
+                # only the LAST valid position's distribution is consumed —
+                # full-sequence f32 logits cost 2.1 GB at 7B x 8 x 2048
+                # (the round-5 admission HBM OOM)
+                logits_last_only=True,
             )
             if full:
                 cache = batch_cache
@@ -259,9 +266,7 @@ class DecodeEngine:
                         else cache[k].at[:, slots].set(batch_cache[k]))
                     for k in cache
                 }
-            last = jnp.take_along_axis(
-                logits, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
-            )[:, 0, :]  # (nb, vocab)
+            last = logits[:, 0, :]  # (nb, vocab): last-valid-position only
             return last, cache
 
         def _prefill(p, c, ids, slots, lns, pad_len):

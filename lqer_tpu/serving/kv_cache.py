@@ -88,6 +88,7 @@ def init_quantized_kv_cache(
     group: int = 16,
     staged: bool = False,
     stage_width: int = 64,
+    code_width: int = 8,
 ) -> dict:
     """KV cache stored as MXINT8 codes + per-16-group int8 exponents:
     8.5 bits/value vs 16 for bf16 (~1.9x cache memory/bandwidth saving).
@@ -113,7 +114,14 @@ def init_quantized_kv_cache(
         (~160 us/layer, bench_attention_probe `write`).
     """
     assert head_dim % group == 0, (head_dim, group)
-    shape_c = (num_layers, batch, kv_heads, head_dim, max_len)
+    assert code_width in (4, 8), code_width
+    # MXINT4 cache (round 5, opt-in KV4): codes nibble-packed along the d
+    # axis (d-split: packed row i = value i | value i+d/2 << 4 — unpack is
+    # two shifts + a sublane concat), 4.5 bits/value. Quality study:
+    # experiments/kv_cache_quality.py; the write grid IS the operand grid
+    # (quantize-once-at-write at width 4).
+    code_rows = head_dim if code_width == 8 else head_dim // 2
+    shape_c = (num_layers, batch, kv_heads, code_rows, max_len)
     shape_e = (num_layers, batch, kv_heads, head_dim // group, max_len)
     z8 = jnp.zeros(shape_c, jnp.int8)
     ze = jnp.zeros(shape_e, jnp.int8)
@@ -131,7 +139,7 @@ def init_quantized_kv_cache(
         # positions [0, flushed) live in main, [flushed, pos] in the ring.
         assert max_len % 128 == 0 and 128 % stage_width == 0 \
             and stage_width % (2 * group) == 0, (max_len, stage_width)
-        sc = (num_layers, batch, kv_heads, head_dim, stage_width)
+        sc = (num_layers, batch, kv_heads, code_rows, stage_width)
         se = (num_layers, batch, kv_heads, head_dim // group, stage_width)
         out.update({
             "k_stage_codes": jnp.zeros(sc, jnp.int8),
@@ -144,9 +152,17 @@ def init_quantized_kv_cache(
 
 
 def cache_group(cache: dict) -> int:
-    """Quantization group of a quantized cache: codes (…, d, L) vs exps
-    (…, d/group, L) — both token-axis-last."""
-    return cache["k_codes"].shape[-2] // cache["k_exps"].shape[-2]
+    """Quantization group of a quantized cache (always 16: codes rows are
+    d for the W8 layout or d/2 for the nibble-packed W4 layout, exps rows
+    are d/16 either way)."""
+    r = cache["k_codes"].shape[-2] // cache["k_exps"].shape[-2]
+    return 16 if r in (8, 16) else r
+
+
+def cache_code_width(cache: dict) -> int:
+    """8 (one int8 code per value) or 4 (two codes per byte, d-split)."""
+    r = cache["k_codes"].shape[-2] // cache["k_exps"].shape[-2]
+    return 4 if r == 8 else 8
 
 
 def is_quantized_cache(cache: dict) -> bool:
@@ -202,14 +218,22 @@ def update_layer_cache_quantized(
     """Quantize the new entries, write codes+exponents (token axis last for
     both), return the decoded post-update layer views
     (b, kv_heads, max_len, d)."""
-    from ..parallel.collectives import mx8_decode, mx8_encode
+    from ..parallel.collectives import (
+        mx4_decode,
+        mx4_encode,
+        mx8_decode,
+        mx8_encode,
+    )
 
     group = cache_group(cache)
+    w4 = cache_code_width(cache) == 4
+    enc = mx4_encode if w4 else mx8_encode
+    dec = mx4_decode if w4 else mx8_decode
     # zero_fill=1.0: deterministic all-zero-group exponent so the fused
     # Pallas cache-write kernel (per-slot view, no global min) produces
     # byte-identical caches (`cache_write.write_kv_tokens_fused`)
-    k_c, k_e = mx8_encode(k_new, group, zero_fill=1.0)
-    v_c, v_e = mx8_encode(v_new, group, zero_fill=1.0)
+    k_c, k_e = enc(k_new, group, zero_fill=1.0)
+    v_c, v_e = enc(v_new, group, zero_fill=1.0)
 
     def upd_t(c, n, p):  # token axis last (codes and exps alike)
         return jax.lax.dynamic_update_slice(c, n, (0, 0, p))
@@ -229,8 +253,8 @@ def update_layer_cache_quantized(
         "v_codes": cache["v_codes"].at[layer].set(vc_l),
         "v_exps": cache["v_exps"].at[layer].set(ve_l),
     }
-    k_l = mx8_decode(jnp.swapaxes(kc_l, -1, -2),
-                     jnp.swapaxes(ke_l, -1, -2), group, compute_dtype)
-    v_l = mx8_decode(jnp.swapaxes(vc_l, -1, -2),
-                     jnp.swapaxes(ve_l, -1, -2), group, compute_dtype)
+    k_l = dec(jnp.swapaxes(kc_l, -1, -2),
+              jnp.swapaxes(ke_l, -1, -2), group, compute_dtype)
+    v_l = dec(jnp.swapaxes(vc_l, -1, -2),
+              jnp.swapaxes(ve_l, -1, -2), group, compute_dtype)
     return cache, k_l, v_l

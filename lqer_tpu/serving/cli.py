@@ -37,8 +37,15 @@ def main(argv=None):
     ap.add_argument("--scan-layers", action="store_true",
                     help="lax.scan layer loop (depth-independent compile)")
     ap.add_argument("--cache-dtype", type=str, default="bfloat16",
-                    choices=["bfloat16", "float32", "mxint8"],
-                    help="KV cache storage (mxint8 = 8.5 bits/value)")
+                    choices=["bfloat16", "float32", "mxint8",
+                             "mxint8-staged", "mxint4", "mxint4-staged"],
+                    help="KV cache storage (mxint8 = 8.5 bits/value; "
+                    "*-staged = round-5 ring-staged writes; mxint4 = "
+                    "4.5 bits, opt-in — see kv_cache_quality.py)")
+    ap.add_argument("--lm-head-width", type=int, default=None,
+                    help="pack the lm_head at this MXINT width (8 is "
+                    "quality-neutral — ROADMAP round-5 study); needs "
+                    "--pallas")
     ap.add_argument("--pallas", action="store_true",
                     help="route linears through the fused W4A8 kernel")
     ap.add_argument("--trace-dir", type=str, default=None,
@@ -81,10 +88,11 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    cache_dtype = ("mxint8" if args.cache_dtype == "mxint8"
+    cache_dtype = (args.cache_dtype if args.cache_dtype.startswith("mxint")
                    else getattr(jnp, args.cache_dtype))
     engine = DecodeEngine(params, cfg, qcfgs, num_slots=args.slots,
                           max_len=args.max_len, cache_dtype=cache_dtype,
+                          lm_head_width=args.lm_head_width,
                           pallas_backend=backend,
                           scan_layers=args.scan_layers)
     reqs = [

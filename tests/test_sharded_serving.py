@@ -81,16 +81,23 @@ def test_sharded_engine_matches_single_device():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("cache_dtype", ["mxint8", "mxint8-staged"])
+@pytest.mark.parametrize("cache_dtype", ["mxint8", "mxint8-staged",
+                                         "mxint4-staged"])
 def test_sharded_engine_quantized_cache_matches_single_device(cache_dtype):
     """VERDICT r4 #4: the flagship MXINT8 cache (and its ring-staged round-5
     variant) under a dp×tp mesh — codes/exps (and staging ring) arrays
     sharded with the same slot/kv-head rules as the fp cache; tokens must
     match the single-device quantized-cache engine exactly."""
-    cfg = LlamaConfig.tiny(vocab_size=128, hidden=64, layers=2, heads=4,
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=128, layers=2, heads=4,
                            kv_heads=2, inter=128, max_pos=128)
     params = models.init_params(cfg, jax.random.PRNGKey(1))
-    qcfgs = models.quantize_model(cfg, Q_CONFIG, L_CONFIG)
+    qc = Q_CONFIG
+    if cache_dtype.startswith("mxint4"):
+        qc = dict(Q_CONFIG)
+        qc["matmul"] = {"name": "flexible",
+                        "x_quantizer": _q(8, [1, 16], True),
+                        "w_quantizer": _q(4, [1, 16], True)}
+    qcfgs = models.quantize_model(cfg, qc, L_CONFIG)
     params = models.prepare_ptq(params, cfg, qcfgs)
 
     prompts = [[3, 17, 42], [9, 8, 7, 6]]

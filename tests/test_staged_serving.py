@@ -138,3 +138,31 @@ def test_staged_partial_admission_scatter():
     eng.run(reqs)
     assert all(r.done for r in reqs)
     assert [len(r.output_ids) for r in reqs] == [4, 3, 5, 3]
+
+
+def test_opt_staged_engine_matches_plain():
+    """The OPT scan/unrolled bodies carry the same staged routing."""
+    from lqer_tpu.models import OPTConfig
+
+    cfg = OPTConfig.tiny(vocab_size=128, hidden=128, layers=2, heads=4,
+                         ffn=128, max_pos=MAX_LEN)
+    params = models.init_params(cfg, jax.random.PRNGKey(5))
+    qcfg = {
+        "linear": Q_CONFIG["linear"],
+        "bmm": {"name": "flexible", "x_quantizer": _q(8, [1, 16], True),
+                "w_quantizer": _q(8, [1, 16], True)},
+    }
+    qcfgs = models.quantize_model(cfg, qcfg, {"linear": {"rank": 16}})
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    def run(cache_dtype, scan):
+        eng = DecodeEngine(params, cfg, qcfgs, num_slots=2, max_len=MAX_LEN,
+                           cache_dtype=cache_dtype, scan_layers=scan)
+        reqs = [Request(prompt_ids=[3, 9, 27], max_new_tokens=6),
+                Request(prompt_ids=[5, 6], max_new_tokens=4)]
+        eng.run(reqs)
+        return [r.output_ids for r in reqs]
+
+    plain = run("mxint8", False)
+    assert run("mxint8-staged", False) == plain
+    assert run("mxint8-staged", True) == plain

@@ -180,17 +180,21 @@ def _std_a8(cfg: dict | None) -> bool:
     )
 
 
-def supports_fused_attention(attn_cfg: "AttnQConfig") -> bool:
+def supports_fused_attention(attn_cfg: "AttnQConfig",
+                             kv_pre_quantized: bool = False) -> bool:
     """Fused path covers the reference's canonical A8 attention quantization
     (both operands of both matmuls in the standard activation format with a
-    common width)."""
+    common width). ``kv_pre_quantized``: K/V arrive already on their cache
+    write grid (quantize-once-at-write serving) — only the q/p-side
+    quantizers run in the kernel, so the K/V-side widths are exempt from
+    the common-width requirement (e.g. a KV4 cache with A8 q/probs)."""
     cfgs = []
     for mm in (attn_cfg.qk_cfg, attn_cfg.pv_cfg):
         if mm is None:
             return False
         x = mm.get("x_quantizer") or mm.get("default")
         w = mm.get("w_quantizer") or mm.get("default")
-        cfgs += [x, w]
+        cfgs += [x] if kv_pre_quantized else [x, w]
     if not all(_std_a8(c) for c in cfgs):
         return False
     widths = {c["width"] for c in cfgs}

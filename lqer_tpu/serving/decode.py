@@ -393,12 +393,13 @@ def _fresh_prefill_attend(qh, kh, vh, attn_cfg, scaling, n_rep, scale_query,
         supports_fused_attention,
     )
 
-    if window is not None or not supports_fused_attention(attn_cfg):
+    quantized = is_quantized_cache(cache)
+    if window is not None or not supports_fused_attention(
+            attn_cfg, kv_pre_quantized=quantized):
         return None
     b, h, s, d = qh.shape
     if d % 16 or s % 16 or s < 16:
         return None
-    quantized = is_quantized_cache(cache)
     if quantized:
         cw = cache_code_width(cache)
         if not _kv_config_is_cache_format(attn_cfg, cw):

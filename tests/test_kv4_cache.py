@@ -183,3 +183,41 @@ def test_kv4_cache_width_detection_and_config_gate():
     attn_cfg = qcfgs[0]["attn"]
     assert dec._kv_config_is_cache_format(attn_cfg, 4)
     assert not dec._kv_config_is_cache_format(attn_cfg, 8)
+
+
+def test_kv4_fused_admission_engages_and_matches_eager(monkeypatch):
+    """KV4 + A8 q/probs rides the fused admission kernel (the K/V-side
+    widths are exempt when pre-quantized on the cache grid)."""
+    from lqer_tpu.models import common
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=256, layers=2, heads=4,
+                           kv_heads=2, inter=256, max_pos=128)
+    params = models.init_params(cfg, jax.random.PRNGKey(6))
+    qcfgs = models.quantize_model(cfg, _kv4_qconfig(),
+                                  {"linear": {"rank": 16}})
+    params = models.prepare_ptq(params, cfg, qcfgs)
+    ids = jax.random.randint(jax.random.PRNGKey(7), (2, 32), 0, 128)
+
+    calls = []
+    orig = common.fused_quantized_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(common, "fused_quantized_attention", spy)
+
+    def admit(fresh):
+        cache = dec.make_cache(cfg, 2, 128, "mxint4-staged")
+        pos = jnp.zeros((2,), jnp.int32)
+        lg, c = dec.model_step(params, ids, cache, pos, cfg, qcfgs,
+                               fresh_prefill=fresh)
+        return np.asarray(lg, np.float32), jax.tree.map(np.asarray, c)
+
+    lg_e, cache_e = admit(False)
+    assert not calls
+    lg_f, cache_f = admit(True)
+    assert calls, "KV4 fused admission did not engage"
+    for k in cache_e:
+        np.testing.assert_array_equal(cache_e[k], cache_f[k], err_msg=k)
+    np.testing.assert_allclose(lg_f, lg_e, atol=2e-2, rtol=2e-2)

@@ -22,7 +22,8 @@ from ..utils.logging import get_logger
 
 logger = get_logger("serving.pallas")
 
-TILE_K = 1024  # cap; per-module tiles via _pick_tile_k
+TILE_K = int(__import__("os").environ.get("LQER_TILE_K", "1024"))
+# cap; per-module tiles via _pick_tile_k (env-overridable for A/B)
 # token count at which the linears switch from the VMEM-resident fused
 # kernels (decode: weights fetched once, activations tiny) to the
 # dequant-once-to-HBM + XLA-dense-dot path (prefill/eval: the kernel grid
@@ -241,7 +242,7 @@ def _pick_tile_n(n: int) -> int:
 def _pick_tile_k(k_in: int, cap: int) -> int:
     """Largest K tile (fewest grid steps) dividing in_features: e.g. 7B's
     q/k/v/o/gate/up (K=4096) tile at 1024 while down (K=11008) tiles at 256."""
-    for tk in (1024, 512, 256, 128):
+    for tk in (2048, 1024, 512, 256, 128):
         if tk <= cap and k_in % tk == 0:
             return tk
     return 0  # ineligible (caller falls back to emulation)

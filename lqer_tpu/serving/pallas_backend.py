@@ -22,8 +22,10 @@ from ..utils.logging import get_logger
 
 logger = get_logger("serving.pallas")
 
-TILE_K = int(__import__("os").environ.get("LQER_TILE_K", "1024"))
-# cap; per-module tiles via _pick_tile_k (env-overridable for A/B)
+TILE_K = int(__import__("os").environ.get("LQER_TILE_K", "2048"))
+# K-tile cap; per-module tiles via _pick_tile_k (env-overridable for A/B).
+# 2048 at 7B shapes: fewer grid steps / bigger slab DMAs — measured
+# 377 -> 365 us/layer on the kernel chain (round 5).
 # token count at which the linears switch from the VMEM-resident fused
 # kernels (decode: weights fetched once, activations tiny) to the
 # dequant-once-to-HBM + XLA-dense-dot path (prefill/eval: the kernel grid
@@ -477,10 +479,14 @@ def _pack_mlp(lp, cfg, params, layer_qcfg, tile_k, arrays, meta,
 
     qc_up = (models._proj_qcfg(layer_qcfg, up_rel.rsplit(".", 1)[-1])
              if up_rel else None)
-    tk = _pick_tile_k(params[f"{lp}.{gate_rel}.weight"].shape[1], tile_k)
+    # the megakernel holds gate+up slabs + the (tile_m, I) intermediate in
+    # VMEM at once: a 2048 K-tile overflows the 16 MB scoped budget
+    # (measured +228 KB); cap it at 1024 (qkv/o use the full TILE_K)
+    tk = _pick_tile_k(params[f"{lp}.{gate_rel}.weight"].shape[1],
+                      min(tile_k, 1024))
     i_dim = params[f"{lp}.{gate_rel}.weight"].shape[0]
     i_pad, ti = pad_to_tile(i_dim)
-    tk2 = _pick_tile_k(i_pad, tile_k)
+    tk2 = _pick_tile_k(i_pad, min(tile_k, 1024))
     prep = prepare_mlp_weights(
         gp(gate_rel, "weight"),
         gp(up_rel, "weight") if up_rel else None,

@@ -365,7 +365,9 @@ def _kernel_variant(rank: int, has_bias: bool, drop_scalar: bool = False):
 
 def _unpack_kernel(*refs, mb: int, group: int, tile_k: int,
                    drop_scalar: bool):
-    """One (k, n) tile: co-packed slab -> dequantized bf16 block."""
+    """One (k, n[, lane-sub]) tile: co-packed slab slice -> dequantized
+    bf16 block (lane sub-tiling keeps the f32 unpack temps inside the
+    16 MB scoped VMEM for 2048-row K tiles)."""
     if drop_scalar:
         refs = refs[1:]
     t_ref, o_ref = refs
@@ -405,24 +407,31 @@ def _unpack_tiles_pallas(tiles, tile_k, tile_n, fmt, layer_index,
     indexed = layer_index is not None
     nk, nn, S, tn = tiles.shape[-4:]  # noqa: F841 (S used via in_spec)
     K, N = nk * tile_k, nn * tile_n
+    # lane sub-tiling: the per-step f32 unpack temps are ~tile_k*sub_n*6 B;
+    # keep them under ~3 MB (2048-row tiles overflowed the scoped VMEM by
+    # 2.7 MB with whole-tn blocks)
+    sub_n = tn
+    while tile_k * sub_n * 6 > 3 * 1024 * 1024 and sub_n % 2 == 0             and sub_n > 128:
+        sub_n //= 2
+    n_sub = tn // sub_n
 
-    def im_t(k, n, *idx):
-        return (idx[0][0], k, n, 0, 0) if indexed else (k, n, 0, 0)
+    def im_t(k, n, j, *idx):
+        return (idx[0][0], k, n, 0, j) if indexed else (k, n, 0, j)
 
-    def im_o(k, n, *idx):
-        return (k, n)
+    def im_o(k, n, j, *idx):
+        return (k, n * n_sub + j)
 
     in_spec = pl.BlockSpec(
-        ((None,) if indexed else ()) + (None, None, S, tn), im_t,
+        ((None,) if indexed else ()) + (None, None, S, sub_n), im_t,
         memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile_k, tile_n), im_o,
+    out_spec = pl.BlockSpec((tile_k, sub_n), im_o,
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _unpack_kernel, mb=fmt.mantissa_bits, group=fmt.group_size,
         tile_k=tile_k, drop_scalar=indexed)
     if indexed:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(nk, nn),
+            num_scalar_prefetch=1, grid=(nk, nn, n_sub),
             in_specs=[in_spec], out_specs=out_spec)
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
@@ -430,7 +439,7 @@ def _unpack_tiles_pallas(tiles, tile_k, tile_n, fmt, layer_index,
             interpret=interpret,
         )(jnp.asarray(layer_index, jnp.int32).reshape(1), tiles)
     return pl.pallas_call(
-        kernel, grid=(nk, nn), in_specs=[in_spec], out_specs=out_spec,
+        kernel, grid=(nk, nn, n_sub), in_specs=[in_spec], out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((K, N), jnp.bfloat16),
         interpret=interpret,
     )(tiles)

@@ -13,6 +13,13 @@ Cases:
 
 Run on the real chip; one dispatch per chain (scan of ITERS steps), value
 fetch drain, min over repeats.
+
+CAVEAT (staged caches): disabling the single-launch staged path sends the
+no* cases down the EAGER staged fallback, whose XLA per-layer ring writes
+cost more than the attention being removed — the noattn/bare deltas are
+NOT a clean attention split there (measured noattn > full by ~5 ms at 32
+layers). Use --cache mxint8 for attention/write decomposition; the staged
+cases remain useful for full/nohead/twolaunch comparisons.
 """
 
 import argparse
@@ -122,6 +129,7 @@ def main():
     orig_attend = dec._attend_auto
     orig_write = dec._cache_write_full
     orig_fused = dec._fused_write_attend
+    orig_staged = dec._staged_write_attend
 
     def noattn_attend(qh, *a, **kw):
         return qh.astype(jnp.float32)
@@ -139,6 +147,10 @@ def main():
     for case in args.cases:
         off_fused = case in ("noattn", "nowrite", "bare", "twolaunch")
         dec._fused_write_attend = no_fused if off_fused else orig_fused
+        # the STAGED single-launch path must also be disabled for the no*
+        # cases (it is checked before the fused path and bypasses both
+        # patches — the staged eager fallback then honors them)
+        dec._staged_write_attend = no_fused if off_fused else orig_staged
         dec._attend_auto = noattn_attend if case in ("noattn", "bare") \
             else orig_attend
         dec._cache_write_full = nowrite_write if case in ("nowrite", "bare") \
@@ -196,6 +208,7 @@ def main():
     dec._attend_auto = orig_attend
     dec._cache_write_full = orig_write
     dec._fused_write_attend = orig_fused
+    dec._staged_write_attend = orig_staged
     if "full" in results:
         for k, v in results.items():
             if k != "full":

@@ -70,6 +70,9 @@ def trajectory(cfg, params, qcfgs, cache_dtype, tokens, prompt):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=48)
+    ap.add_argument("--seeds", type=int, default=3,
+                    help="model/prompt seeds averaged per row (the single-"
+                    "seed token-agreement numbers swing widely)")
     args = ap.parse_args()
 
     sizes = {
@@ -81,43 +84,48 @@ def main():
                           kv_heads=16, inter=2048, max_pos=256),
     }
     print(f"{'model':10s} {'cache':10s} {'meanKL':>10s} {'max|dlogit|':>12s} "
-          f"{'tok agree':>10s}")
+          f"{'tok agree':>10s}   (mean over seeds)")
     for name, kw in sizes.items():
         cfg = LlamaConfig.tiny(**kw)
-        params = models.init_params(cfg, jax.random.PRNGKey(0))
-        qcfgs8 = models.quantize_model(cfg, _qconfig(8),
-                                       {"linear": {"rank": 16}})
-        qcfgs4 = models.quantize_model(cfg, _qconfig(4),
-                                       {"linear": {"rank": 16}})
-        params = models.prepare_ptq(params, cfg, qcfgs8)
-        prompt = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0,
-                                    cfg.vocab_size)
-        # build the teacher-forced token sequence greedily from an fp run
-        cache = dec.make_cache(cfg, 1, 256, jnp.float32)
-        pos = jnp.zeros((1,), jnp.int32)
-        logits, cache = dec.model_step(params, prompt, cache, pos, cfg,
-                                       qcfgs8)
-        pos = pos + prompt.shape[1]
-        toks = []
-        t = jnp.argmax(logits[0, -1]).astype(jnp.int32)
-        for _ in range(args.steps):
-            toks.append(t)
-            logits, cache = dec.model_step(params, t.reshape(1, 1), cache,
-                                           pos, cfg, qcfgs8)
-            t = jnp.argmax(logits[0, 0]).astype(jnp.int32)
-            pos = pos + 1
-        ref = trajectory(cfg, params, qcfgs8, jnp.float32, toks, prompt)
-        for label, dtype, qc in (("mxint8", "mxint8", qcfgs8),
-                                 ("mxint4", "mxint4", qcfgs4)):
-            got = trajectory(cfg, params, qc, dtype, toks, prompt)
-            pr = jax.nn.softmax(jnp.asarray(ref), axis=-1)
-            lg = jax.nn.log_softmax(jnp.asarray(got), axis=-1)
-            lr = jax.nn.log_softmax(jnp.asarray(ref), axis=-1)
-            kl = float(jnp.mean(jnp.sum(pr * (lr - lg), axis=-1)))
-            dmax = float(np.abs(got - ref).max())
-            agree = float((got.argmax(-1) == ref.argmax(-1)).mean())
-            print(f"{name:10s} {label:10s} {kl:10.5f} {dmax:12.4f} "
-                  f"{agree:10.3f}")
+        stats = {"mxint8": [], "mxint4": []}
+        for seed in range(args.seeds):
+            params = models.init_params(cfg, jax.random.PRNGKey(seed))
+            qcfgs8 = models.quantize_model(cfg, _qconfig(8),
+                                           {"linear": {"rank": 16}})
+            qcfgs4 = models.quantize_model(cfg, _qconfig(4),
+                                           {"linear": {"rank": 16}})
+            params = models.prepare_ptq(params, cfg, qcfgs8)
+            prompt = jax.random.randint(jax.random.PRNGKey(100 + seed),
+                                        (1, 8), 0, cfg.vocab_size)
+            # teacher-forced token sequence, greedy from an fp run
+            cache = dec.make_cache(cfg, 1, 256, jnp.float32)
+            pos = jnp.zeros((1,), jnp.int32)
+            logits, cache = dec.model_step(params, prompt, cache, pos, cfg,
+                                           qcfgs8)
+            pos = pos + prompt.shape[1]
+            toks = []
+            t = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            for _ in range(args.steps):
+                toks.append(t)
+                logits, cache = dec.model_step(params, t.reshape(1, 1),
+                                               cache, pos, cfg, qcfgs8)
+                t = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+                pos = pos + 1
+            ref = trajectory(cfg, params, qcfgs8, jnp.float32, toks, prompt)
+            for label, dtype, qc in (("mxint8", "mxint8", qcfgs8),
+                                     ("mxint4", "mxint4", qcfgs4)):
+                got = trajectory(cfg, params, qc, dtype, toks, prompt)
+                pr = jax.nn.softmax(jnp.asarray(ref), axis=-1)
+                lg = jax.nn.log_softmax(jnp.asarray(got), axis=-1)
+                lr = jax.nn.log_softmax(jnp.asarray(ref), axis=-1)
+                kl = float(jnp.mean(jnp.sum(pr * (lr - lg), axis=-1)))
+                dmax = float(np.abs(got - ref).max())
+                agree = float((got.argmax(-1) == ref.argmax(-1)).mean())
+                stats[label].append((kl, dmax, agree))
+        for label in ("mxint8", "mxint4"):
+            a = np.array(stats[label])
+            print(f"{name:10s} {label:10s} {a[:,0].mean():10.5f} "
+                  f"{a[:,1].mean():12.4f} {a[:,2].mean():10.3f}")
 
 
 if __name__ == "__main__":

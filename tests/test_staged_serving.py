@@ -166,3 +166,36 @@ def test_opt_staged_engine_matches_plain():
     plain = run("mxint8", False)
     assert run("mxint8-staged", False) == plain
     assert run("mxint8-staged", True) == plain
+
+
+def test_staged_heterogeneous_configs_match_unrolled():
+    """model_layer_{i} overrides split the scan into config segments; the
+    staged cache must thread through segment boundaries identically to the
+    unrolled engine."""
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden=256, layers=3, heads=4,
+                           kv_heads=2, inter=256, max_pos=MAX_LEN)
+    lin6 = {**Q_CONFIG["linear"],
+            "x_quantizer": _q(6, [1, 16], True)}
+    q_het = dict(Q_CONFIG)
+    q_het["model_layer_1"] = {
+        "self_attn": {
+            "q_proj": lin6, "k_proj": Q_CONFIG["linear"],
+            "v_proj": Q_CONFIG["linear"], "o_proj": Q_CONFIG["linear"],
+            "matmul_0": Q_CONFIG["matmul"], "matmul_1": Q_CONFIG["matmul"],
+        },
+        "mlp": {p: Q_CONFIG["linear"]
+                for p in ("gate_proj", "up_proj", "down_proj")},
+    }
+    params = models.init_params(cfg, jax.random.PRNGKey(9))
+    qcfgs = models.quantize_model(cfg, q_het, {"linear": {"rank": 16}})
+    params = models.prepare_ptq(params, cfg, qcfgs)
+
+    def run(scan):
+        eng = DecodeEngine(params, cfg, qcfgs, num_slots=2, max_len=MAX_LEN,
+                           cache_dtype="mxint8-staged", scan_layers=scan)
+        reqs = [Request(prompt_ids=[3, 9, 27], max_new_tokens=5),
+                Request(prompt_ids=[5, 6], max_new_tokens=4)]
+        eng.run(reqs)
+        return [r.output_ids for r in reqs]
+
+    assert run(True) == run(False)

@@ -118,6 +118,7 @@ def _kernel(
     x_ref, t_ref, a_ref, b_ref, bias_ref, o_ref, acc, xa,
     *, mb: int, tile_k: int, group: int, rank: int, has_bias: bool,
     quant_xa_mb: int | None, quant_out_mb: int | None,
+    quant_x_mb: int | None = None,
 ):
     n = pl.program_id(1)
     k = pl.program_id(2)
@@ -128,6 +129,14 @@ def _kernel(
         acc[:] = jnp.zeros_like(acc)
 
     x = x_ref[:]
+    if quant_x_mb is not None:
+        # in-kernel activation quantization (round 5): x arrives RAW f32 and
+        # quantizes per (row, 16-group along K) here — bit-identical VALUES
+        # to the XLA x_quantizer (16 | tile_k so groups never span tiles;
+        # all-zero-group fills only affect storage exponents, not values),
+        # removing three per-layer XLA quantizer chains from the decode step
+        x = _quantize_rows_mx(x.astype(jnp.float32), quant_x_mb
+                              ).astype(jnp.bfloat16)
     acc[:] += _dot_w4(x, t_ref, mb, group, tile_k)
 
     # ---- rank-k partial: computed once per M tile (n == 0 sweep) ----
@@ -216,13 +225,15 @@ def _default_tile_n(n: int) -> int:
     jax.jit,
     static_argnames=(
         "mb", "group", "tile_m", "tile_n", "tile_k", "rank",
-        "quant_xa_mb", "quant_out_mb", "out_dtype", "interpret",
+        "quant_xa_mb", "quant_out_mb", "quant_x_mb", "out_dtype",
+        "interpret",
     ),
 )
 def _fused_call(
     x_q, tiles, a, b, bias,
     *, mb, group, tile_m, tile_n, tile_k, rank,
     quant_xa_mb, quant_out_mb, out_dtype, interpret,
+    quant_x_mb=None,
     layer_index=None,
 ):
     """``layer_index`` (a (1,) int32 array) selects the layer when the
@@ -262,7 +273,8 @@ def _fused_call(
                      im_w(lambda m, n, k: (k, n, 0, 0)),
                      memory_space=pltpu.VMEM),
     ]
-    args = [x_q.astype(jnp.bfloat16), tiles]
+    args = [x_q.astype(jnp.float32 if quant_x_mb is not None
+                       else jnp.bfloat16), tiles]
     if rank > 0:
         in_specs += [
             pl.BlockSpec(wshape((tile_k, rank)),
@@ -286,6 +298,7 @@ def _fused_call(
         _kernel_variant(rank, has_bias, drop_scalar=indexed),
         mb=mb, tile_k=tile_k, group=group, rank=rank, has_bias=has_bias,
         quant_xa_mb=quant_xa_mb, quant_out_mb=quant_out_mb,
+        quant_x_mb=quant_x_mb,
     )
 
     # m tiles are independent; n and k carry scratch state (xa, acc)
@@ -542,6 +555,7 @@ def qlinear_w4_fused(
     tile_n: int | None = None,
     quant_xa_width: int | None = 8,
     quant_out_width: int | None = 8,
+    quant_x_width: int | None = None,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
     layer_index=None,
@@ -590,6 +604,7 @@ def qlinear_w4_fused(
         tile_m=tm, tile_n=tn, tile_k=tile_k, rank=rank,
         quant_xa_mb=None if quant_xa_width is None else quant_xa_width - 1,
         quant_out_mb=None if quant_out_width is None else quant_out_width - 1,
+        quant_x_mb=None if quant_x_width is None else quant_x_width - 1,
         out_dtype=out_dtype, interpret=interpret, layer_index=layer_index,
     )
     return out[:M]

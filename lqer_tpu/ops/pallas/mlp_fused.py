@@ -70,7 +70,7 @@ def _mlp_kernel(
     *, mb, group, gated, act_mb,
     n_i, n_k, n_n, n_k2, tile_i, tile_k, tile_k2,
     rank_gu, rank_d, has_bias,
-    quant_xa_mb, quant_out_mb,
+    quant_xa_mb, quant_out_mb, quant_x_mb=None,
 ):
     p = pl.program_id(1)
     P1 = n_i * n_k
@@ -91,6 +91,10 @@ def _mlp_kernel(
                 acc_u[:] = jnp.zeros_like(acc_u)
 
         x = x_ref[:]
+        if quant_x_mb is not None:
+            # in-kernel activation quantization (see dequant_gemm._kernel)
+            x = _quantize_rows_mx(x.astype(jnp.float32), quant_x_mb
+                                  ).astype(jnp.bfloat16)
         acc_g[:] += _dot_w4(x, tg_ref, mb, group, tile_k)
         if gated:
             acc_u[:] += _dot_w4(x, tu_ref, mb, group, tile_k)
@@ -248,7 +252,8 @@ def prepare_mlp_weights(
     static_argnames=(
         "mb", "group", "gated", "act_width", "tile_m", "tile_i", "tile_n",
         "tile_k", "tile_k2", "rank_gu", "rank_d", "has_bias",
-        "quant_xa_mb", "quant_out_mb", "out_dtype", "interpret",
+        "quant_xa_mb", "quant_out_mb", "quant_x_mb", "out_dtype",
+        "interpret",
     ),
 )
 def _mlp_call(
@@ -256,7 +261,7 @@ def _mlp_call(
     bias_g, bias_u, bias_d,
     *, mb, group, gated, act_width, tile_m, tile_i, tile_n, tile_k, tile_k2,
     rank_gu, rank_d, has_bias, quant_xa_mb, quant_out_mb, out_dtype,
-    interpret, layer_index=None,
+    interpret, quant_x_mb=None, layer_index=None,
 ):
     """``layer_index``: scalar-prefetch layer selection over LAYER-STACKED
     weight operands (leading L dim) — see ``dequant_gemm._fused_call`` for
@@ -304,7 +309,8 @@ def _mlp_call(
         j = jnp.where(p < P1, 0, p - P1)
         return j % n_k2, j // n_k2
 
-    add(x_q.astype(jnp.bfloat16), (tile_m, tile_k),
+    add(x_q.astype(jnp.float32 if quant_x_mb is not None
+                   else jnp.bfloat16), (tile_m, tile_k),
         lambda m, p: c(m, p1_idx(p)[0]))
     add_w(tg, (None, None, Sg, tile_i), lambda m, p: c(*p1_idx(p), 0, 0))
     if gated:
@@ -334,6 +340,7 @@ def _mlp_call(
         tile_i=tile_i, tile_k=tile_k, tile_k2=tile_k2,
         rank_gu=rank_gu, rank_d=rank_d, has_bias=has_bias,
         quant_xa_mb=quant_xa_mb, quant_out_mb=quant_out_mb,
+        quant_x_mb=quant_x_mb,
     )
 
     flops = 2 * M * K * I * (2 if gated else 1) + 2 * M * I * N
@@ -436,6 +443,7 @@ def mlp_w4_fused(
     act_width: int | None = 8,
     quant_xa_width: int | None = 8,
     quant_out_width: int | None = 8,
+    quant_x_width: int | None = None,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
     layer_index=None,
@@ -490,6 +498,7 @@ def mlp_w4_fused(
         rank_gu=rank_gu, rank_d=rank_d, has_bias=has_bias,
         quant_xa_mb=None if quant_xa_width is None else quant_xa_width - 1,
         quant_out_mb=None if quant_out_width is None else quant_out_width - 1,
+        quant_x_mb=None if quant_x_width is None else quant_x_width - 1,
         out_dtype=out_dtype, interpret=interpret, layer_index=layer_index,
     )
     return out[:M]

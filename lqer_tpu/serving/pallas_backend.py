@@ -34,6 +34,7 @@ TILE_K = int(__import__("os").environ.get("LQER_TILE_K", "2048"))
 import os as _os
 
 _LARGEM_THRESHOLD = int(_os.environ.get("LQER_LARGEM_THRESHOLD", "512"))
+_INKERNEL_XQ = bool(_os.environ.get("LQER_INKERNEL_XQ"))
 
 # Projections sharing one input activation, fusable into a single kernel
 # launch by concatenating their (packed) weights along the output axis —
@@ -540,7 +541,7 @@ def serving_mlp(
     prep.update(backend["meta"][key])
     b, s, k = x.shape
     x_q = qc_first.x_quantizer(x).astype(jnp.bfloat16).reshape(b * s, k)
-    if b * s >= _LARGEM_THRESHOLD:
+    if b * s >= _LARGEM_THRESHOLD:  # noqa: E501 (x_q re-derived below for the kernel path)
         # prefill/eval: the megakernel would refetch + re-dequantize the
         # weights once per 128-row M tile; dequant-once + XLA dense dots
         y = mlp_w4_dense_largeM(
@@ -550,10 +551,19 @@ def serving_mlp(
             out_dtype=jnp.float32, layer_index=layer_index,
         )
         return y.reshape(b, s, -1).astype(x.dtype)
+    x_cfg = qc_first.x_cfg
+    in_kernel_q = (_INKERNEL_XQ and _is_mx8_act(x_cfg)
+                   and x_cfg.get("width", 99) <= 9 and k % 16 == 0)
+    if in_kernel_q:
+        x_q = x.astype(jnp.float32).reshape(b * s, k)
+        qxw = int(x_cfg["width"])
+    else:
+        qxw = None
     y = mlp_w4_fused(
         x_q, prep, tile_m=128, tile_i=prep["tile_i"],
         tile_n=prep["tile_n"], act_width=prep["act_width"],
         quant_xa_width=prep["xa_width"], quant_out_width=prep["out_width"],
+        quant_x_width=qxw,
         out_dtype=jnp.float32, interpret=interpret,
         layer_index=layer_index,
     )
@@ -575,10 +585,10 @@ def serving_linear(
     prep = dict(backend["arrays"][prefix])
     prep.update(backend["meta"][prefix])
     b, s, k = x.shape
-    x_q = qc.x_quantizer(x).astype(jnp.bfloat16).reshape(b * s, k)
     if b * s >= _LARGEM_THRESHOLD:
         from ..ops.pallas.dequant_gemm import qlinear_w4_dense_largeM
 
+        x_q = qc.x_quantizer(x).astype(jnp.bfloat16).reshape(b * s, k)
         y = qlinear_w4_dense_largeM(
             x_q, prep,
             quant_xa_width=prep["xa_width"],
@@ -586,6 +596,20 @@ def serving_linear(
             out_dtype=jnp.float32, layer_index=layer_index,
         )
         return y.reshape(b, s, -1).astype(x.dtype)
+    # in-kernel activation quantization (opt-in, LQER_INKERNEL_XQ=1):
+    # bit-identical values (K tiles split at 16-group boundaries), but the
+    # quantize re-runs per (n, k) grid step — measured +150 us/layer at 7B
+    # decode (the transposed 16-grouping inside every step outweighs the
+    # removed XLA chains), so the default keeps the XLA x_quantizer
+    x_cfg = qc.x_cfg
+    in_kernel_q = (_INKERNEL_XQ and _is_mx8_act(x_cfg)
+                   and x_cfg.get("width", 99) <= 9 and k % 16 == 0)
+    if in_kernel_q:
+        x_q = x.astype(jnp.float32).reshape(b * s, k)
+        qxw = int(x_cfg["width"])
+    else:
+        x_q = qc.x_quantizer(x).astype(jnp.bfloat16).reshape(b * s, k)
+        qxw = None
     y = qlinear_w4_fused(
         x_q,
         prep,
@@ -593,6 +617,7 @@ def serving_linear(
         tile_n=prep["tile_n"],
         quant_xa_width=prep["xa_width"],
         quant_out_width=prep["out_width"],
+        quant_x_width=qxw,
         out_dtype=jnp.float32,
         interpret=interpret,
         layer_index=layer_index,

@@ -126,3 +126,39 @@ def test_unpack_pallas_matches_jnp():
                                     interpret=True)
         np.testing.assert_array_equal(np.asarray(got2, np.float32),
                                       np.asarray(ref, np.float32))
+
+
+def test_in_kernel_x_quantize_bit_exact():
+    """serving-path in-kernel activation quantization (round 5) must be
+    BIT-identical to the XLA x_quantizer path: K tiles split at 16-group
+    boundaries and zero-group fills affect no fake-quant value."""
+    from lqer_tpu.ops.quantizers import block_fp_quantizer as bq
+
+    K, N, R, M = 256, 384, 32, 24
+    w = jax.random.normal(jax.random.PRNGKey(21), (N, K)) * 0.02
+    a = jax.random.normal(jax.random.PRNGKey(22), (K, R)) * 0.02
+    b = jax.random.normal(jax.random.PRNGKey(23), (R, N)) * 0.02
+    prep = prepare_w4_weights(w, a=a, b=b, tile_k=128, tile_n=128)
+    x = jax.random.normal(jax.random.PRNGKey(24), (M, K))
+    # sprinkle exact-zero groups (the fill corner)
+    x = x.at[:, 32:48].set(0.0)
+    x_pre = _aq(x).astype(jnp.bfloat16)
+    ref = qlinear_w4_fused(x_pre, prep, interpret=True)
+    got = qlinear_w4_fused(x.astype(jnp.float32), prep, quant_x_width=8,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    from lqer_tpu.ops.pallas.mlp_fused import (
+        mlp_w4_fused as _mlp,
+        prepare_mlp_weights as _pmw,
+    )
+
+    I = 256
+    wg = jax.random.normal(jax.random.PRNGKey(25), (I, K)) * 0.02
+    wu = jax.random.normal(jax.random.PRNGKey(26), (I, K)) * 0.02
+    wd = jax.random.normal(jax.random.PRNGKey(27), (N, I)) * 0.02
+    mp = _pmw(wg, wu, wd, tile_k=128, tile_k2=128, tile_i=128, tile_n=128)
+    ref_m = _mlp(x_pre, mp, tile_i=128, tile_n=128, interpret=True)
+    got_m = _mlp(x.astype(jnp.float32), mp, tile_i=128, tile_n=128,
+                 quant_x_width=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))

@@ -116,6 +116,7 @@ def _dot_w4(x, t_ref, mb: int, group: int, tile_k: int) -> jnp.ndarray:
 
 def _kernel(
     x_ref, t_ref, a_ref, b_ref, bias_ref, o_ref, acc, xa,
+    xq_scr=None,
     *, mb: int, tile_k: int, group: int, rank: int, has_bias: bool,
     quant_xa_mb: int | None, quant_out_mb: int | None,
     quant_x_mb: int | None = None,
@@ -128,15 +129,29 @@ def _kernel(
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    x = x_ref[:]
     if quant_x_mb is not None:
-        # in-kernel activation quantization (round 5): x arrives RAW f32 and
-        # quantizes per (row, 16-group along K) here — bit-identical VALUES
-        # to the XLA x_quantizer (16 | tile_k so groups never span tiles;
-        # all-zero-group fills only affect storage exponents, not values),
-        # removing three per-layer XLA quantizer chains from the decode step
-        x = _quantize_rows_mx(x.astype(jnp.float32), quant_x_mb
-                              ).astype(jnp.bfloat16)
+        # in-kernel activation quantization (round-5 v2): x arrives RAW f32
+        # as a FULL-K block (constant index over n/k) and quantizes ONCE per
+        # m tile into scratch — bit-identical VALUES to the XLA x_quantizer
+        # (16-group boundaries align; zero-group fills affect no value).
+        # v1 quantized the (tile_m, tile_k) slice per grid step and LOST
+        # ~150 us/layer to the repeated in-step transposed grouping.
+        @pl.when((k == 0) & (n == 0))
+        def _():
+            # chunked: the transposed 16-grouping of a full-K row block
+            # lane-pads its intermediates (a (K, m) f32 transpose costs
+            # ~K*128*4 B of stack — 2 MB at K=4096, measured 3.7 MB over
+            # the scoped budget); 512-lane chunks keep it bounded
+            K_full = xq_scr.shape[1]
+            for c0 in range(0, K_full, 512):
+                ch = min(512, K_full - c0)
+                xq_scr[:, c0:c0 + ch] = _quantize_rows_mx(
+                    x_ref[:, c0:c0 + ch].astype(jnp.float32), quant_x_mb
+                ).astype(xq_scr.dtype)
+
+        x = xq_scr[:, pl.ds(k * tile_k, tile_k)]
+    else:
+        x = x_ref[:]
     acc[:] += _dot_w4(x, t_ref, mb, group, tile_k)
 
     # ---- rank-k partial: computed once per M tile (n == 0 sweep) ----
@@ -267,8 +282,11 @@ def _fused_call(
         return (None, *shape) if indexed else shape
 
     in_specs = [
-        pl.BlockSpec((tile_m, tile_k), im(lambda m, n, k: (m, k)),
-                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((tile_m, K), im(lambda m, n, k: (m, 0)),
+                      memory_space=pltpu.VMEM)
+         if quant_x_mb is not None else
+         pl.BlockSpec((tile_m, tile_k), im(lambda m, n, k: (m, k)),
+                      memory_space=pltpu.VMEM)),
         pl.BlockSpec(wshape((None, None, S, tile_n)),
                      im_w(lambda m, n, k: (k, n, 0, 0)),
                      memory_space=pltpu.VMEM),
@@ -313,6 +331,8 @@ def _fused_call(
         pltpu.VMEM((tile_m, tile_n), jnp.float32),
         pltpu.VMEM((tile_m, max(rank, 8)), jnp.float32),
     ]
+    if quant_x_mb is not None:
+        scratch_shapes.append(pltpu.VMEM((tile_m, K), jnp.bfloat16))
     cost = pl.CostEstimate(
         flops=2 * M * N * K + (2 * M * K * rank + 2 * M * rank * N),
         bytes_accessed=M * K * 2 + n_k * n_n * S * tile_n + M * N * 2,
@@ -357,7 +377,7 @@ def _kernel_variant(rank: int, has_bias: bool, drop_scalar: bool = False):
     def k_fn(*refs, **kw):
         if drop_scalar:
             refs = refs[1:]
-        # refs layout: x, tiles, [a, b], [bias], o, acc, xa
+        # refs layout: x, tiles, [a, b], [bias], o, acc, xa, [xq_scr]
         idx = 2
         a_ref = b_ref = bias_ref = None
         refs = list(refs)
@@ -368,8 +388,10 @@ def _kernel_variant(rank: int, has_bias: bool, drop_scalar: bool = False):
             bias_ref = refs[idx]
             idx += 1
         o_ref, acc, xa = refs[idx], refs[idx + 1], refs[idx + 2]
+        xq_scr = refs[idx + 3] if len(refs) > idx + 3 else None
         return _kernel(
             refs[0], refs[1], a_ref, b_ref, bias_ref, o_ref, acc, xa,
+            xq_scr,
             **kw,
         )
 

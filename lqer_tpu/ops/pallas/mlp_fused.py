@@ -66,7 +66,7 @@ def _mlp_kernel(
     agu_ref, bg_ref, bu_ref, ad_ref, bd_ref,
     biasg_ref, biasu_ref, biasd_ref,
     o_ref,
-    acc_g, acc_u, acc_d, xa_gu, xa_d, inter,
+    acc_g, acc_u, acc_d, xa_gu, xa_d, inter, xq_scr,
     *, mb, group, gated, act_mb,
     n_i, n_k, n_n, n_k2, tile_i, tile_k, tile_k2,
     rank_gu, rank_d, has_bias,
@@ -90,11 +90,22 @@ def _mlp_kernel(
             if gated:
                 acc_u[:] = jnp.zeros_like(acc_u)
 
-        x = x_ref[:]
         if quant_x_mb is not None:
-            # in-kernel activation quantization (see dequant_gemm._kernel)
-            x = _quantize_rows_mx(x.astype(jnp.float32), quant_x_mb
-                                  ).astype(jnp.bfloat16)
+            # in-kernel activation quantization, quantize-once-per-m-tile
+            # into scratch (see dequant_gemm._kernel round-5 v2 note)
+            @pl.when(p == 0)
+            def _():
+                # chunked — see dequant_gemm._kernel (stack-bounded)
+                K_full = xq_scr.shape[1]
+                for c0 in range(0, K_full, 512):
+                    ch = min(512, K_full - c0)
+                    xq_scr[:, c0:c0 + ch] = _quantize_rows_mx(
+                        x_ref[:, c0:c0 + ch].astype(jnp.float32),
+                        quant_x_mb).astype(xq_scr.dtype)
+
+            x = xq_scr[:, pl.ds(k * tile_k, tile_k)]
+        else:
+            x = x_ref[:]
         acc_g[:] += _dot_w4(x, tg_ref, mb, group, tile_k)
         if gated:
             acc_u[:] += _dot_w4(x, tu_ref, mb, group, tile_k)
@@ -309,9 +320,11 @@ def _mlp_call(
         j = jnp.where(p < P1, 0, p - P1)
         return j % n_k2, j // n_k2
 
-    add(x_q.astype(jnp.float32 if quant_x_mb is not None
-                   else jnp.bfloat16), (tile_m, tile_k),
-        lambda m, p: c(m, p1_idx(p)[0]))
+    if quant_x_mb is not None:
+        add(x_q.astype(jnp.float32), (tile_m, K), lambda m, p: c(m, 0))
+    else:
+        add(x_q.astype(jnp.bfloat16), (tile_m, tile_k),
+            lambda m, p: c(m, p1_idx(p)[0]))
     add_w(tg, (None, None, Sg, tile_i), lambda m, p: c(*p1_idx(p), 0, 0))
     if gated:
         add_w(tu, (None, None, Sg, tile_i), lambda m, p: c(*p1_idx(p), 0, 0))
@@ -359,6 +372,8 @@ def _mlp_call(
         # dominant scratch (the f32 (128, 11264) block pushed the padded-I
         # kernel 180 KB over the 16 MB VMEM budget at prefill)
         pltpu.VMEM((tile_m, I), jnp.bfloat16),       # intermediate
+        pltpu.VMEM((tile_m, K if quant_x_mb is not None else 8),
+                   jnp.bfloat16),                    # in-kernel-quantized x
     ]
     cost = pl.CostEstimate(
         flops=flops, bytes_accessed=bytes_acc, transcendentals=M * I)
@@ -423,11 +438,12 @@ def _mlp_kernel_variant(gated, rank_gu, rank_d, has_bias,
         biasu = take(has_bias and gated)
         biasd = take(has_bias)
         o_ref = refs[idx]
-        acc_g, acc_u, acc_d, xa_gu, xa_d, inter = refs[idx + 1:idx + 7]
+        (acc_g, acc_u, acc_d, xa_gu, xa_d, inter,
+         xq_scr) = refs[idx + 1:idx + 8]
         return _mlp_kernel(
             x, tg, tu, td, agu, bg, bu, ad, bd,
             biasg, biasu, biasd, o_ref,
-            acc_g, acc_u, acc_d, xa_gu, xa_d, inter, **kw,
+            acc_g, acc_u, acc_d, xa_gu, xa_d, inter, xq_scr, **kw,
         )
 
     return k_fn
